@@ -1,0 +1,88 @@
+"""Sparse conv vs dense-numpy oracle on a tiny grid (subm / down / inverse)."""
+import jax.numpy as jnp
+import numpy as np
+
+from tpu3dwsis.ops import rulebook, sparse_conv, voxelize
+
+
+def _random_scene(rng, n_active=40, shape=(8, 8, 8), batch=2):
+    # distinct random active coords per batch element
+    seen = set()
+    rows = []
+    while len(rows) < n_active:
+        c = (rng.integers(0, batch), *rng.integers(0, shape[0], 3))
+        if c not in seen:
+            seen.add(c)
+            rows.append(c)
+    return np.array(rows, dtype=np.int32)
+
+
+def test_subm_down_inverse_vs_dense_oracle():
+    rng = np.random.default_rng(3)
+    shape, batch, cin, cout = (8, 8, 8), 2, 4, 5
+    coords = _random_scene(rng, 40, shape, batch)
+    m_pad = 64
+
+    vox = voxelize.voxelize_coords(jnp.asarray(coords), shape, batch, m_pad)
+    level0 = rulebook.VoxelLevel(keys=vox.keys, coords=vox.coords, valid=vox.valid)
+    plan = rulebook.build_unet_plan(level0, shape, batch, num_levels=2, level_sizes=[m_pad, m_pad])
+
+    m = int(vox.num_voxels)
+    feats_np = np.zeros((m_pad, cin), np.float32)
+    feats_np[:m] = rng.standard_normal((m, cin)).astype(np.float32)
+    feats = jnp.asarray(feats_np)
+    vc = np.asarray(vox.coords)[:m]  # valid voxel coords, sorted by key
+
+    # dense volume per batch elem for the oracle
+    dense = np.zeros((batch, *shape, cin), np.float32)
+    active = np.zeros((batch, *shape), bool)
+    for i, (b, x, y, z) in enumerate(vc):
+        dense[b, x, y, z] = feats_np[i]
+        active[b, x, y, z] = True
+
+    # ---- submanifold 3x3x3 ----
+    w = rng.standard_normal((27, cin, cout)).astype(np.float32) * 0.2
+    got = np.asarray(sparse_conv.subm_conv(feats, plan.levels[0].subm_nbr, jnp.asarray(w)))
+    offs = rulebook.subm_offsets(3)
+    for i, (b, x, y, z) in enumerate(vc):
+        want = np.zeros(cout, np.float32)
+        for k, (dx, dy, dz) in enumerate(offs):
+            q = (x + dx, y + dy, z + dz)
+            if all(0 <= q[d] < shape[d] for d in range(3)) and active[b][q]:
+                want += dense[b][q] @ w[k]
+        np.testing.assert_allclose(got[i], want, rtol=1e-4, atol=1e-4)
+
+    # ---- downsample k2 s2 ----
+    wd = rng.standard_normal((8, cin, cout)).astype(np.float32) * 0.2
+    down_nbr = plan.levels[0].down_nbr
+    got_d = np.asarray(sparse_conv.down_conv(feats, down_nbr, jnp.asarray(wd)))
+    coarse = plan.levels[1].level
+    mc = int(np.asarray(coarse.valid).sum())
+    cc = np.asarray(coarse.coords)[:mc]
+    doffs = rulebook.down_offsets()
+    for i, (b, x, y, z) in enumerate(cc):
+        want = np.zeros(cout, np.float32)
+        for k, (dx, dy, dz) in enumerate(doffs):
+            q = (2 * x + dx, 2 * y + dy, 2 * z + dz)
+            if all(q[d] < shape[d] for d in range(3)) and active[b][q]:
+                want += dense[b][q] @ wd[k]
+        np.testing.assert_allclose(got_d[i], want, rtol=1e-4, atol=1e-4)
+    # coarse set = unique halved coords
+    want_coarse = {(b, x // 2, y // 2, z // 2) for b, x, y, z in vc}
+    assert want_coarse == {tuple(r) for r in cc}
+
+    # ---- inverse conv coarse->fine ----
+    cfeat_np = np.zeros((m_pad, cout), np.float32)
+    cfeat_np[:mc] = rng.standard_normal((mc, cout)).astype(np.float32)
+    wi = rng.standard_normal((8, cout, cin)).astype(np.float32) * 0.2
+    got_i = np.asarray(
+        sparse_conv.inverse_conv(jnp.asarray(cfeat_np), down_nbr, jnp.asarray(wi), m_pad)
+    )
+    coarse_index = {tuple(r): i for i, r in enumerate(cc)}
+    for i, (b, x, y, z) in enumerate(vc):
+        p = coarse_index[(b, x // 2, y // 2, z // 2)]
+        k = ((x % 2) * 2 + (y % 2)) * 2 + (z % 2)  # row-major (dx,dy,dz)
+        want = cfeat_np[p] @ wi[k]
+        np.testing.assert_allclose(got_i[i], want, rtol=1e-4, atol=1e-4)
+    # padding rows untouched
+    np.testing.assert_array_equal(got_i[m:], 0.0)

@@ -1,0 +1,228 @@
+"""Augmentation + padding collate: host numpy scenes → fixed-shape SceneBatch.
+
+Re-implements the reference ``__getitem__`` + ``collate_fn`` pipeline
+(``modules/datasets/scannetv2_dataset.py:96-191,343-474``) with padded static
+shapes:
+
+* random 3×3 aug matrix (jitter/flip/rot) applied to coords **and** the
+  superpoint offset vectors (``data_aug_with_graph``, ``:195-209``);
+* color jitter ``+ randn*0.1`` (``:187``);
+* ``×scale`` then floor-offset to positive coords (``:148-153``);
+* the reference's shrinking-window random crop to ``max_npoint``
+  (``crop``, ``:251-273``);
+* superpoint re-basing across scenes and subgraphing to surviving
+  superpoints (``:169-171,383-387``);
+* per-scene instance re-labelling, occupancy already log-transformed
+  (``:441``) — all written into one flat, padded :class:`SceneBatch`.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..core.containers import BatchStatics, SceneBatch
+from .scene import IGNORE, Scene
+
+__all__ = ["SceneLabels", "augment_matrix", "crop_scene", "collate"]
+
+
+@dataclasses.dataclass
+class SceneLabels:
+    """Labels to train with for one scene: GT or the current weak/pseudo
+    labels from the curriculum state machine."""
+
+    point_sem: np.ndarray  # [n]
+    point_ins: np.ndarray  # [n]
+    sp_sem: np.ndarray  # [s]
+    sp_ins: np.ndarray  # [s]
+    sp_offset: np.ndarray  # [s, 3]
+    sp_occupancy: Optional[np.ndarray] = None  # [s] raw voxel counts (log applied here)
+    sp_size: Optional[np.ndarray] = None  # [s]
+
+
+def augment_matrix(rng: np.random.Generator, jitter=True, flip=True, rot=True) -> np.ndarray:
+    """3×3 aug matrix (``data_aug_with_graph``, ``scannetv2_dataset.py:195-209``)."""
+    m = np.eye(3)
+    if jitter:
+        m += rng.standard_normal((3, 3)) * 0.1
+    if flip:
+        m[0][0] *= rng.integers(0, 2) * 2 - 1
+    if rot:
+        theta = rng.random() * 2 * math.pi
+        rotm = np.array(
+            [
+                [math.cos(theta), math.sin(theta), 0],
+                [-math.sin(theta), math.cos(theta), 0],
+                [0, 0, 1],
+            ]
+        )
+        m = m @ rotm
+    return m
+
+
+def crop_scene(
+    xyz: np.ndarray, rng: np.random.Generator, max_npoint: int, full_scale_hi: int
+) -> np.ndarray:
+    """Reference shrinking-window crop (``scannetv2_dataset.py:251-273``).
+
+    ``xyz`` is already scaled+offset to start at 0. Returns a boolean keep
+    mask of at most ``max_npoint`` points (window shrinks in XY by 32 per
+    retry, exactly like the reference loop).
+    """
+    valid = np.ones(len(xyz), bool)
+    if len(xyz) <= max_npoint:
+        return valid
+    full_scale = np.array([full_scale_hi] * 3, np.float64)
+    room_range = xyz.max(0) - xyz.min(0)
+    while valid.sum() > max_npoint:
+        offset = np.clip(full_scale - room_range + 0.001, None, 0) * rng.random(3)
+        xyz_offset = xyz + offset
+        valid = (xyz_offset.min(1) >= 0) & ((xyz_offset < full_scale).sum(1) == 3)
+        full_scale[:2] -= 32
+    return valid
+
+
+def collate(
+    scenes: List[Scene],
+    labels: List[SceneLabels],
+    statics: BatchStatics,
+    rng: np.random.Generator,
+    training: bool = True,
+    scale: float = 50.0,
+    max_npoint: int = 250000,
+    full_scale_hi: int = 512,
+) -> Dict[str, np.ndarray]:
+    """Build the flat padded arrays of a :class:`SceneBatch` (as numpy).
+
+    Returns a dict keyed like SceneBatch fields; callers do
+    ``SceneBatch(**{k: jnp.asarray(v) for ...})`` (or device_put).
+    """
+    N, S, E = statics.max_points, statics.max_superpoints, statics.max_edges
+    imax = statics.max_instances
+    b = len(scenes)
+    assert b <= statics.max_batch
+
+    out = {
+        "point_coords": np.zeros((N, 4), np.int32),
+        "point_xyz": np.zeros((N, 3), np.float32),
+        "point_rgb": np.zeros((N, 3), np.float32),
+        "point_valid": np.zeros(N, bool),
+        "point_sp": np.full(N, S, np.int32),
+        "point_sem": np.full(N, IGNORE, np.int32),
+        "point_ins": np.full(N, IGNORE, np.int32),
+        "sp_valid": np.zeros(S, bool),
+        "sp_scene": np.full(S, statics.max_batch, np.int32),
+        "sp_sem": np.full(S, IGNORE, np.int32),
+        "sp_ins": np.full(S, IGNORE, np.int32),
+        "sp_ins_local": np.full(S, -1, np.int32),
+        "sp_offset": np.zeros((S, 3), np.float32),
+        "sp_occupancy": np.zeros(S, np.float32),
+        "sp_size": np.zeros(S, np.float32),
+        "edge_u": np.full(E, S, np.int32),
+        "edge_v": np.full(E, S, np.int32),
+        "edge_feats": np.zeros((E, 13), np.float32),
+        "edge_valid": np.zeros(E, bool),
+    }
+
+    p_cursor, sp_cursor, e_cursor = 0, 0, 0
+    total_inst = 0
+
+    for i, (scene, lab) in enumerate(zip(scenes, labels)):
+        if training:
+            m = augment_matrix(rng)
+        else:
+            m = np.eye(3)
+        xyz_middle = scene.xyz @ m
+        sp_offset = lab.sp_offset @ m
+
+        xyz = xyz_middle * scale
+        xyz = xyz - xyz.min(0)
+
+        if training:
+            keep = crop_scene(xyz, rng, max_npoint, full_scale_hi)
+        else:
+            keep = np.ones(len(xyz), bool)
+
+        xyz_middle = xyz_middle[keep]
+        xyz_keep = xyz[keep]
+        rgb = scene.rgb[keep]
+        if training:
+            rgb = rgb + rng.standard_normal(3).astype(np.float32) * 0.1
+        psem = lab.point_sem[keep]
+        pins = lab.point_ins[keep].copy()
+        sp = scene.superpoint[keep]
+
+        # superpoint re-basing within the crop (unique+inverse, :169-171)
+        subset, new_sp = np.unique(sp, return_inverse=True)
+        n_sp = len(subset)
+        n_pt = len(xyz_keep)
+        if p_cursor + n_pt > N or sp_cursor + n_sp > S:
+            raise ValueError(
+                f"bucket overflow: points {p_cursor + n_pt}/{N} superpoints {sp_cursor + n_sp}/{S}"
+            )
+
+        # instance relabel: scene-local contiguous ids for valid instances
+        uniq_ins = np.unique(pins[pins != IGNORE])
+        local_of = {int(g): j for j, g in enumerate(uniq_ins)}
+        if len(uniq_ins) > imax:
+            raise ValueError(f"instance overflow: {len(uniq_ins)} > {imax}")
+
+        sl_p = slice(p_cursor, p_cursor + n_pt)
+        coords_int = xyz_keep.astype(np.int32)
+        out["point_coords"][sl_p, 0] = i
+        out["point_coords"][sl_p, 1:] = coords_int
+        out["point_xyz"][sl_p] = xyz_middle
+        out["point_rgb"][sl_p] = rgb
+        out["point_valid"][sl_p] = True
+        out["point_sp"][sl_p] = new_sp + sp_cursor
+        out["point_sem"][sl_p] = psem
+        glob = np.where(pins != IGNORE, pins + total_inst, IGNORE)
+        out["point_ins"][sl_p] = glob
+
+        sl_s = slice(sp_cursor, sp_cursor + n_sp)
+        out["sp_valid"][sl_s] = True
+        out["sp_scene"][sl_s] = i
+        out["sp_sem"][sl_s] = lab.sp_sem[subset]
+        sp_ins_sub = lab.sp_ins[subset]
+        out["sp_ins"][sl_s] = np.where(sp_ins_sub != IGNORE, sp_ins_sub + total_inst, IGNORE)
+        out["sp_ins_local"][sl_s] = np.array(
+            [local_of.get(int(g), -1) if g != IGNORE else -1 for g in sp_ins_sub], np.int32
+        )
+        out["sp_offset"][sl_s] = sp_offset[subset]
+        if lab.sp_occupancy is not None:
+            occ = lab.sp_occupancy[subset].astype(np.float32)
+            out["sp_occupancy"][sl_s] = np.log(np.maximum(occ, 1e-12))  # log, :441
+        if lab.sp_size is not None:
+            out["sp_size"][sl_s] = lab.sp_size[subset]
+
+        # subgraph: edges with both endpoints surviving (igraph.subgraph equiv)
+        old_of_new = subset
+        remap = np.full(scene.num_superpoints, -1, np.int64)
+        remap[old_of_new] = np.arange(n_sp)
+        eu = remap[scene.edges[:, 0]]
+        ev = remap[scene.edges[:, 1]]
+        ekeep = (eu >= 0) & (ev >= 0)
+        n_e = int(ekeep.sum())
+        if e_cursor + n_e > E:
+            raise ValueError(f"edge overflow: {e_cursor + n_e}/{E}")
+        sl_e = slice(e_cursor, e_cursor + n_e)
+        out["edge_u"][sl_e] = eu[ekeep] + sp_cursor
+        out["edge_v"][sl_e] = ev[ekeep] + sp_cursor
+        out["edge_feats"][sl_e] = scene.edge_feats[ekeep]
+        out["edge_valid"][sl_e] = True
+
+        p_cursor += n_pt
+        sp_cursor += n_sp
+        e_cursor += n_e
+        total_inst += max(len(uniq_ins), 0)
+
+    return out
+
+
+def to_scene_batch(arrays: Dict[str, np.ndarray]) -> SceneBatch:
+    import jax.numpy as jnp
+
+    return SceneBatch(**{k: jnp.asarray(v) for k, v in arrays.items()})

@@ -1,0 +1,176 @@
+"""Neighbor-table ("rulebook") construction for sparse convolutions.
+
+spconv builds GPU-hash-table rulebooks listing (input, output) index pairs
+per kernel offset (``modules/model/sparse_unet3d.py:17-23,261-297`` call
+sites).  The TPU formulation is dense-per-offset instead: for every kernel
+offset ``k`` we store, for each *output* voxel row, the row index of the
+input voxel it reads (or a *null* index = ``M_in`` on miss).  A sparse conv
+is then ``K`` gather→matmul→accumulate steps — large, static-shape matmuls
+that tile straight onto the MXU, with no per-edge bookkeeping.
+
+Tables are pure functions of the active-coordinate sets, so they jit and are
+built once per U-Net level per batch; the reference's ``indice_key`` sharing
+(submanifold convs of one level share one table; the inverse conv reuses the
+downsample table transposed) falls out structurally: the tables live in a
+:class:`UNetPlan` that the network consumes.
+"""
+from __future__ import annotations
+
+import itertools
+from typing import NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import hashgrid
+from .hashgrid import PAD_KEY
+
+__all__ = [
+    "subm_offsets",
+    "down_offsets",
+    "VoxelLevel",
+    "LevelPlan",
+    "UNetPlan",
+    "build_subm_table",
+    "build_downsample",
+    "build_unet_plan",
+]
+
+
+def subm_offsets(kernel_size: int = 3) -> np.ndarray:
+    """Kernel offsets for a submanifold conv, ``[K, 3]`` int32, row-major in
+    ``(dx, dy, dz)``, range ``[-(k//2), k//2]``.  K = k**3."""
+    r = kernel_size // 2
+    return np.array(
+        list(itertools.product(range(-r, r + 1), repeat=3)), dtype=np.int32
+    )
+
+
+def down_offsets() -> np.ndarray:
+    """Offsets for the k=2 s=2 downsample conv: child position = 2*parent + o,
+    o in {0,1}^3, row-major ``(dx, dy, dz)``. K = 8."""
+    return np.array(list(itertools.product(range(2), repeat=3)), dtype=np.int32)
+
+
+class VoxelLevel(NamedTuple):
+    """Active voxel set at one U-Net resolution (padded, sorted by key)."""
+
+    keys: jax.Array  # [M] int32 sorted, PAD_KEY padding
+    coords: jax.Array  # [M, 4] int32 (b, x, y, z)
+    valid: jax.Array  # [M] bool
+
+
+class LevelPlan(NamedTuple):
+    """Everything one U-Net level needs: its voxels, the shared submanifold
+    neighbor table, and (if not the deepest level) the k2s2 down link."""
+
+    level: VoxelLevel
+    subm_nbr: jax.Array  # [27, M] int32 input row per (offset, output row); M = miss
+    down_nbr: jax.Array | None  # [8, M_coarse] fine row per (offset, coarse row)
+
+
+class UNetPlan(NamedTuple):
+    levels: Tuple[LevelPlan, ...]
+
+
+def _query_table(
+    level: VoxelLevel,
+    query_coords: jax.Array,
+    query_valid: jax.Array,
+    spatial_shape: Sequence[int],
+    max_batch: int,
+) -> jax.Array:
+    """Look up ``[Q, 4]`` coords in a level's sorted key table → ``[Q]`` row
+    indices, with misses and invalid queries mapped to ``M`` (null)."""
+    m = level.keys.shape[0]
+    qkeys = hashgrid.pack_coords(query_coords, spatial_shape, max_batch, valid=query_valid)
+    pos, found = hashgrid.lookup(level.keys, qkeys)
+    return jnp.where(found, pos, m).astype(jnp.int32)
+
+
+def build_subm_table(
+    level: VoxelLevel,
+    spatial_shape: Sequence[int],
+    max_batch: int,
+    kernel_size: int = 3,
+) -> jax.Array:
+    """Neighbor table for a submanifold conv at one level: ``[K, M]``.
+
+    Output sites are exactly the active sites (submanifold semantics —
+    spconv's ``SubMConv3d``); offset k's entry for output row m is the row of
+    the voxel at ``coords[m] + offsets[k]`` or ``M`` if inactive.
+    """
+    offsets = jnp.asarray(subm_offsets(kernel_size))  # [K, 3]
+
+    def per_offset(off):
+        q = level.coords.at[:, 1:].add(off[None, :])
+        return _query_table(level, q, level.valid, spatial_shape, max_batch)
+
+    return jax.vmap(per_offset)(offsets)
+
+
+def build_downsample(
+    fine: VoxelLevel,
+    spatial_shape: Sequence[int],
+    max_batch: int,
+    max_voxels_out: int,
+) -> Tuple[VoxelLevel, jax.Array]:
+    """Coarse level + k2s2 link table from a fine level.
+
+    Coarse active set = unique ``floor(coords/2)`` of fine actives (spconv
+    ``SparseConv3d(kernel_size=2, stride=2)`` semantics). Returns
+    ``(coarse_level, down_nbr[8, M_out])`` where ``down_nbr[k][m]`` is the
+    fine row at ``2*coarse_coords[m] + down_offsets()[k]`` (or ``M_fine``).
+    The same table drives the inverse conv (``SparseInverseConv3d`` sharing
+    the ``indice_key``, ``sparse_unet3d.py:292-297``) as a scatter.
+    """
+    coarse_shape = tuple((int(s) + 1) // 2 for s in spatial_shape)
+    cc = fine.coords.at[:, 1:].set(fine.coords[:, 1:] // 2)
+    ckeys = hashgrid.pack_coords(cc, coarse_shape, max_batch, valid=fine.valid)
+    uniq = jnp.unique(ckeys, size=max_voxels_out, fill_value=PAD_KEY)
+    cvalid = uniq != PAD_KEY
+    ccoords = hashgrid.unpack_coords(jnp.where(cvalid, uniq, 0), coarse_shape, max_batch)
+    coarse = VoxelLevel(keys=uniq, coords=ccoords, valid=cvalid)
+
+    offsets = jnp.asarray(down_offsets())
+
+    def per_offset(off):
+        q = ccoords.at[:, 1:].set(ccoords[:, 1:] * 2 + off[None, :])
+        return _query_table(fine, q, cvalid, spatial_shape, max_batch)
+
+    down_nbr = jax.vmap(per_offset)(offsets)
+    return coarse, down_nbr
+
+
+def build_unet_plan(
+    level0: VoxelLevel,
+    spatial_shape: Sequence[int],
+    max_batch: int,
+    num_levels: int,
+    level_sizes: Sequence[int],
+) -> UNetPlan:
+    """Build all per-level tables for a ``num_levels``-deep U-Net.
+
+    ``level_sizes[i]`` is the static padded voxel capacity of level ``i``
+    (level 0 must equal ``level0.keys.shape[0]``).  Mirrors the recursive
+    table construction spconv performs lazily inside ``UBlock``
+    (``sparse_unet3d.py:213-350``), done eagerly here so the whole forward is
+    one traced computation.
+    """
+    assert len(level_sizes) == num_levels
+    assert level0.keys.shape[0] == level_sizes[0]
+    plans = []
+    level = level0
+    shape = tuple(int(s) for s in spatial_shape)
+    for i in range(num_levels):
+        subm = build_subm_table(level, shape, max_batch)
+        if i + 1 < num_levels:
+            coarse, down_nbr = build_downsample(level, shape, max_batch, level_sizes[i + 1])
+        else:
+            coarse, down_nbr = None, None
+        plans.append(LevelPlan(level=level, subm_nbr=subm, down_nbr=down_nbr))
+        if coarse is not None:
+            level = coarse
+            shape = tuple((s + 1) // 2 for s in shape)
+    return UNetPlan(levels=tuple(plans))

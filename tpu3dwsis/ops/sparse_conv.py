@@ -1,0 +1,105 @@
+"""Sparse convolution compute: gather → GEMM → accumulate/scatter.
+
+The MXU-friendly formulation of spconv's three conv types
+(``SubMConv3d`` / ``SparseConv3d(k2,s2)`` / ``SparseInverseConv3d``, call
+sites ``modules/model/sparse_unet3d.py:116-119,261-267,292-297``):
+
+* every conv is ``K`` steps of ``gather(features, nbr[k]) @ W[k]`` summed,
+  where ``nbr`` comes from :mod:`tpu3dwsis.ops.rulebook` — each step is one
+  large ``[M, Cin] x [Cin, Cout]`` matmul;
+* gathers use a features array with one extra **null row** of zeros at index
+  ``M`` so misses contribute nothing;
+* the inverse conv is the transpose: ``K`` matmuls on the coarse features
+  scattered to their (unique) child rows.
+
+The loop over ``K`` is a ``lax.scan`` so peak memory stays ``O(M*C)`` rather
+than ``O(K*M*C)``; XLA pipelines the gather of step k+1 with the matmul of
+step k.  Weights are stored ``[K, Cin, Cout]`` with offset order defined by
+``rulebook.subm_offsets`` / ``rulebook.down_offsets``.
+
+A fused Pallas kernel for the gather-GEMM inner loop lives in
+:mod:`tpu3dwsis.ops.pallas_spconv`; this module is the XLA reference path and
+the autodiff-complete default.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["gather_conv", "scatter_conv", "subm_conv", "down_conv", "inverse_conv"]
+
+
+def _with_null_row(feats: jax.Array) -> jax.Array:
+    """Append a zero row so index ``M`` reads zeros."""
+    return jnp.concatenate([feats, jnp.zeros((1, feats.shape[1]), feats.dtype)], axis=0)
+
+
+def gather_conv(
+    feats: jax.Array,
+    nbr: jax.Array,
+    weights: jax.Array,
+    accum_dtype=jnp.float32,
+) -> jax.Array:
+    """``out[m] = sum_k feats[nbr[k, m]] @ weights[k]`` with null-row misses.
+
+    feats: ``[M_in, Cin]``; nbr: ``[K, M_out]`` int32 (``M_in`` = miss);
+    weights: ``[K, Cin, Cout]``. Returns ``[M_out, Cout]`` in feats.dtype.
+    """
+    x = _with_null_row(feats)
+    m_out = nbr.shape[1]
+    cout = weights.shape[2]
+
+    def step(acc, kw):
+        nbr_k, w_k = kw
+        g = x[nbr_k]  # [M_out, Cin]
+        acc = acc + jnp.dot(g, w_k, preferred_element_type=accum_dtype)
+        return acc, None
+
+    acc0 = jnp.zeros((m_out, cout), accum_dtype)
+    acc, _ = jax.lax.scan(step, acc0, (nbr, weights))
+    return acc.astype(feats.dtype)
+
+
+def scatter_conv(
+    feats: jax.Array,
+    nbr: jax.Array,
+    weights: jax.Array,
+    m_out: int,
+    accum_dtype=jnp.float32,
+) -> jax.Array:
+    """Transposed conv: ``out[nbr[k, m]] += feats[m] @ weights[k]``.
+
+    feats: ``[M_in, Cin]``; nbr: ``[K, M_in]`` int32 with values in
+    ``[0, m_out]`` (``m_out`` = dropped null slot); weights ``[K, Cin,
+    Cout]``. Returns ``[m_out, Cout]``.  For the k2s2 inverse conv every
+    child row receives exactly one (k, m) contribution, so this is
+    collision-free; the implementation is still an add-scatter and therefore
+    correct regardless.
+    """
+    def step(acc, kw):
+        nbr_k, w_k = kw
+        y = jnp.dot(feats, w_k, preferred_element_type=accum_dtype)  # [M_in, Cout]
+        acc = acc.at[nbr_k].add(y, mode="drop")
+        return acc, None
+
+    acc0 = jnp.zeros((m_out + 1, weights.shape[2]), accum_dtype)
+    acc, _ = jax.lax.scan(step, acc0, (nbr, weights))
+    return acc[:m_out].astype(feats.dtype)
+
+
+# Thin, intention-revealing aliases used by the U-Net -------------------------
+
+def subm_conv(feats, subm_nbr, weights):
+    """Submanifold 3³ conv at one level (spconv ``SubMConv3d`` semantics)."""
+    return gather_conv(feats, subm_nbr, weights)
+
+
+def down_conv(feats, down_nbr, weights):
+    """k=2 s=2 strided conv fine→coarse (spconv ``SparseConv3d`` semantics)."""
+    return gather_conv(feats, down_nbr, weights)
+
+
+def inverse_conv(feats, down_nbr, weights, m_out: int):
+    """k=2 inverse conv coarse→fine restoring the pre-downsample active set
+    (spconv ``SparseInverseConv3d`` sharing the down conv's indice_key)."""
+    return scatter_conv(feats, down_nbr, weights, m_out)
