@@ -1,0 +1,152 @@
+"""Benchmark: single-chip training + inference throughput on synthetic
+ScanNet-like scenes.
+
+Prints ONE JSON line: the primary metric is training throughput in
+scenes/sec with the heaviest (stage-3) loss configuration.  The reference's
+only published wall-clock number is ~7.5 min/epoch over 1201 scenes at
+batch 10 on a TITAN RTX in stage 3 (comment at
+``/root/reference/train_scannetv2.py:780``) ⇒ **2.67 scenes/sec baseline**.
+
+Extra fields report eval-mode forward throughput (scenes/sec and Mpts/sec)
+for the BASELINE.json "single-chip inference" configs.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+
+BATCH = 4
+NUM_SCENES = 8
+POINTS_PER_SCENE = 25000
+BASELINE_TRAIN_SCENES_PER_SEC = 1201 * 1 / (7.5 * 60) * 1.0  # 2.67
+
+
+def get_scenes():
+    from tpu3dwsis.data.scene import load_scene, save_scene
+    from tpu3dwsis.data.synthetic import make_scene
+
+    os.makedirs(CACHE, exist_ok=True)
+    scenes = []
+    for s in range(NUM_SCENES):
+        path = os.path.join(CACHE, f"bench_scene_{s}.npz")
+        if os.path.exists(path):
+            scenes.append(load_scene(path))
+        else:
+            sc = make_scene(
+                seed=s,
+                num_instances=10,
+                points_per_instance=1500,
+                num_background=POINTS_PER_SCENE - 15000,
+                extent=8.0,
+                sp_grid=0.4,
+            )
+            save_scene(sc, path)
+            scenes.append(sc)
+    return scenes
+
+
+def main():
+    import jax
+
+    from tpu3dwsis.core.containers import BatchStatics
+    from tpu3dwsis.data.collate import SceneLabels, collate, to_scene_batch
+    from tpu3dwsis.nn.losses import LossConfig, LossFlags
+    from tpu3dwsis.nn.network import NetConfig, WSISNet, preprocess
+    from tpu3dwsis.train.optim import make_optimizer
+    from tpu3dwsis.train.state import init_train_state
+    from tpu3dwsis.train.step import make_forward_fn, make_train_step
+
+    scenes = get_scenes()
+    statics = BatchStatics(
+        spatial_shape=(512, 512, 512),
+        max_batch=BATCH,
+        max_voxels=131072,
+        num_levels=5,
+        level_sizes=(131072, 65536, 32768, 16384, 8192),
+        max_points=131072,
+        max_superpoints=32768,
+        max_edges=524288,
+        max_instances=32,
+    )
+    model = WSISNet(NetConfig(classes=20, media=32, blocks=5))
+
+    def labels_for(sc):
+        return SceneLabels(
+            point_sem=sc.sem,
+            point_ins=sc.ins,
+            sp_sem=sc.sp_sem_gt,
+            sp_ins=sc.sp_ins_gt,
+            sp_offset=sc.sp_offset_gt,
+            sp_occupancy=np.full(sc.num_superpoints, 400.0, np.float32),
+            sp_size=np.ones(sc.num_superpoints, np.float32),
+        )
+
+    rng = np.random.default_rng(0)
+    batches = []
+    for i in range(2):
+        group = scenes[i * BATCH : (i + 1) * BATCH]
+        arrays = collate(group, [labels_for(s) for s in group], statics, rng, training=True)
+        batches.append(to_scene_batch(arrays))
+
+    pre = preprocess(batches[0], statics)
+    variables = model.init(jax.random.PRNGKey(0), batches[0], pre, train=False)
+    tx = make_optimizer(variables["params"], max_epochs=120, steps_per_epoch=30)
+    state = init_train_state(variables["params"], variables["batch_stats"], tx)
+
+    loss_cfg = LossConfig(classes=20, max_instances=32, num_scenes=BATCH)
+    flags = LossFlags(True, True, True)  # stage-3: every loss term on
+    step = make_train_step(model, tx, statics, loss_cfg, flags, donate=True)
+
+    # ---- train throughput ----
+    state, _ = step(state, batches[0])  # compile
+    jax.block_until_ready(state.params)
+    n_steps = 12
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        state, loss_out = step(state, batches[i % 2])
+    jax.block_until_ready(state.params)
+    train_dt = time.perf_counter() - t0
+    train_scenes_per_sec = BATCH * n_steps / train_dt
+
+    # ---- inference throughput (eval forward) ----
+    forward = make_forward_fn(model, statics)
+    outs = forward(state.params, state.batch_stats, batches[0])
+    jax.block_until_ready(outs["semantic_scores"])
+    n_inf = 12
+    t0 = time.perf_counter()
+    for i in range(n_inf):
+        outs = forward(state.params, state.batch_stats, batches[i % 2])
+    jax.block_until_ready(outs["semantic_scores"])
+    inf_dt = time.perf_counter() - t0
+    total_points = sum(
+        int(np.asarray(b.point_valid).sum()) for b in (batches * ((n_inf + 1) // 2))[:n_inf]
+    )
+    inf_scenes_per_sec = BATCH * n_inf / inf_dt
+    mpts_per_sec = total_points / inf_dt / 1e6
+
+    print(
+        json.dumps(
+            {
+                "metric": "train_scenes_per_sec_stage3",
+                "value": round(train_scenes_per_sec, 3),
+                "unit": "scenes/s",
+                "vs_baseline": round(train_scenes_per_sec / BASELINE_TRAIN_SCENES_PER_SEC, 2),
+                "extra": {
+                    "inference_scenes_per_sec": round(inf_scenes_per_sec, 3),
+                    "inference_mpts_per_sec": round(mpts_per_sec, 3),
+                    "points_per_scene": POINTS_PER_SCENE,
+                    "batch": BATCH,
+                    "device": str(jax.devices()[0]),
+                    "train_step_ms": round(1000 * train_dt / n_steps, 1),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

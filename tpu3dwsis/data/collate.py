@@ -65,16 +65,18 @@ def augment_matrix(rng: np.random.Generator, jitter=True, flip=True, rot=True) -
 
 def crop_scene(
     xyz: np.ndarray, rng: np.random.Generator, max_npoint: int, full_scale_hi: int
-) -> np.ndarray:
+):
     """Reference shrinking-window crop (``scannetv2_dataset.py:251-273``).
 
-    ``xyz`` is already scaled+offset to start at 0. Returns a boolean keep
-    mask of at most ``max_npoint`` points (window shrinks in XY by 32 per
-    retry, exactly like the reference loop).
+    ``xyz`` is already scaled+offset to start at 0. Returns ``(xyz_shifted,
+    keep_mask)`` — the reference keeps the *shifted* coordinates so
+    surviving points land inside ``[0, full_scale)`` (window shrinks in XY
+    by 32 per retry, exactly like the reference loop).
     """
     valid = np.ones(len(xyz), bool)
+    xyz_offset = xyz
     if len(xyz) <= max_npoint:
-        return valid
+        return xyz_offset, valid
     full_scale = np.array([full_scale_hi] * 3, np.float64)
     room_range = xyz.max(0) - xyz.min(0)
     while valid.sum() > max_npoint:
@@ -82,7 +84,7 @@ def crop_scene(
         xyz_offset = xyz + offset
         valid = (xyz_offset.min(1) >= 0) & ((xyz_offset < full_scale).sum(1) == 3)
         full_scale[:2] -= 32
-    return valid
+    return xyz_offset, valid
 
 
 def collate(
@@ -94,6 +96,8 @@ def collate(
     scale: float = 50.0,
     max_npoint: int = 250000,
     full_scale_hi: int = 512,
+    crop_mode: str = "shift",  # "shift" (ScanNet crop) | "block" (S3DIS crop_v2)
+    subsample: bool = False,  # S3DIS random 1/4 subsample during training
 ) -> Dict[str, np.ndarray]:
     """Build the flat padded arrays of a :class:`SceneBatch` (as numpy).
 
@@ -131,29 +135,47 @@ def collate(
     total_inst = 0
 
     for i, (scene, lab) in enumerate(zip(scenes, labels)):
+        if training and subsample:
+            # S3DIS 1/4 random subsample (s3dis_dataset.py:133-145)
+            sub = rng.choice(scene.num_points, size=scene.num_points // 4, replace=False)
+        else:
+            sub = slice(None)
+        base_xyz = scene.xyz[sub]
+        base_rgb = scene.rgb[sub]
+        base_psem = lab.point_sem[sub]
+        base_pins = lab.point_ins[sub]
+        base_sp = scene.superpoint[sub]
+
         if training:
             m = augment_matrix(rng)
         else:
             m = np.eye(3)
-        xyz_middle = scene.xyz @ m
+        xyz_middle = base_xyz @ m
         sp_offset = lab.sp_offset @ m
 
         xyz = xyz_middle * scale
         xyz = xyz - xyz.min(0)
 
         if training:
-            keep = crop_scene(xyz, rng, max_npoint, full_scale_hi)
+            if crop_mode == "block":
+                from .s3dis import crop_block
+
+                keep = crop_block(xyz, rng, max_npoint)
+                if keep.any():
+                    xyz = xyz - xyz[keep].min(0)
+            else:
+                xyz, keep = crop_scene(xyz, rng, max_npoint, full_scale_hi)
         else:
             keep = np.ones(len(xyz), bool)
 
         xyz_middle = xyz_middle[keep]
         xyz_keep = xyz[keep]
-        rgb = scene.rgb[keep]
+        rgb = base_rgb[keep]
         if training:
             rgb = rgb + rng.standard_normal(3).astype(np.float32) * 0.1
-        psem = lab.point_sem[keep]
-        pins = lab.point_ins[keep].copy()
-        sp = scene.superpoint[keep]
+        psem = base_psem[keep]
+        pins = base_pins[keep].copy()
+        sp = base_sp[keep]
 
         # superpoint re-basing within the crop (unique+inverse, :169-171)
         subset, new_sp = np.unique(sp, return_inverse=True)

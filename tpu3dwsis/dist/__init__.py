@@ -1,0 +1,3 @@
+"""Distributed: device mesh, shardings, collective helpers."""
+
+from .mesh import make_mesh, replicate, shard_batch  # noqa: F401

@@ -1,0 +1,145 @@
+"""Inference + evaluation entry point: ``python -m tpu3dwsis.infer.cli``.
+
+The reference equivalent is ``python test_scannetv2.py --config ...``
+(``test_scannetv2.py:101-276``): per-scene whole-scene forward, three-level
+semantic evaluation (point / superpoint-mode / superpoint-head broadcast),
+graph BFS clustering, and the ScanNet AP protocol.
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+from typing import Optional
+
+import numpy as np
+
+from ..data.collate import to_scene_batch
+from ..data.loader import SceneDataset
+from ..eval.classes import (
+    SCANNET_INSTANCE_CLASS_IDS,
+    SCANNET_INSTANCE_CLASS_NAMES,
+    SCANNET_SEMANTIC_IDS,
+    SCANNET_VALID_CLASS_MASK,
+)
+from ..eval.instance_ap import InstanceAPEvaluator, encode_gt_instances
+from ..eval.semantic import SemanticEvaluator
+from ..nn.network import WSISNet
+from ..train.checkpoint import load_checkpoint
+from ..train.cli import build_world, statics_from_cfg
+from ..train.step import make_forward_fn
+from ..utils.config import Config
+from .clustering import cluster_scene
+
+__all__ = ["main", "evaluate_dataset"]
+
+log = logging.getLogger("tpu3dwsis.infer")
+
+
+def evaluate_dataset(
+    model: WSISNet,
+    params,
+    batch_stats,
+    dataset: SceneDataset,
+    bfs_ratio: float = 0.25,
+    with_instances: bool = True,
+):
+    """Run the full test protocol over a dataset; returns a metrics dict."""
+    forward = make_forward_fn(model, dataset.statics)
+    classes = model.cfg.classes
+    pt_ev = SemanticEvaluator([str(i) for i in range(classes)])
+    mid_ev = SemanticEvaluator([str(i) for i in range(classes)])
+    sp_ev = SemanticEvaluator([str(i) for i in range(classes)])
+    ap_ev = InstanceAPEvaluator(
+        list(SCANNET_INSTANCE_CLASS_IDS), SCANNET_INSTANCE_CLASS_NAMES
+    )
+    rng = np.random.default_rng(567)  # reference test seed (config :15)
+
+    for idx, scene in enumerate(dataset.scenes):
+        arrays = dataset.collate_batch([idx], rng, training=False)
+        batch = to_scene_batch(arrays)
+        outs = forward(params, batch_stats, batch)
+        n, s = scene.num_points, scene.num_superpoints
+
+        point_pred = np.asarray(outs["semantic_scores"].argmax(-1))[:n]
+        pt_ev.process(point_pred, scene.sem)
+
+        # "middle": per-superpoint mode of point predictions broadcast back
+        mid_pred = np.zeros(n, np.int64)
+        sp_of = scene.superpoint
+        counts = np.zeros((s, classes), np.int64)
+        np.add.at(counts, (sp_of, point_pred), 1)
+        mode = counts.argmax(1)
+        mid_pred = mode[sp_of]
+        mid_ev.process(mid_pred, scene.sem)
+
+        sp_head_pred = np.asarray(outs["sp_semantic_scores"].argmax(-1))[:s]
+        sp_ev.process(sp_head_pred[sp_of], scene.sem)
+
+        if with_instances:
+            res = cluster_scene(
+                scene.xyz,
+                scene.superpoint,
+                scene.edges,
+                sp_head_pred,
+                np.asarray(outs["pred_sp_offset_vectors"])[:s],
+                np.asarray(outs["pred_sp_occupancy"])[:s],
+                np.asarray(outs["pred_sp_ins_size"])[:s],
+                SCANNET_VALID_CLASS_MASK,
+                bfs_ratio=bfs_ratio,
+            )
+            gt_ids = encode_gt_instances(
+                SCANNET_SEMANTIC_IDS[np.clip(scene.sem, 0, classes - 1)], scene.ins
+            )
+            ap_ev.process(
+                scene.name,
+                res.masks,
+                SCANNET_SEMANTIC_IDS[res.class_indices],
+                res.confidences,
+                gt_ids,
+            )
+        log.info("evaluated %s (%d/%d)", scene.name, idx + 1, len(dataset.scenes))
+
+    metrics = {
+        "point_miou": pt_ev.evaluate()["miou"],
+        "middle_miou": mid_ev.evaluate()["miou"],
+        "sp_miou": sp_ev.evaluate()["miou"],
+    }
+    if with_instances:
+        ap = ap_ev.evaluate()
+        metrics.update(
+            {"mAP": ap["all_ap"], "mAP50": ap["all_ap_50"], "mAP25": ap["all_ap_25"]}
+        )
+    return metrics
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="tpu3dwsis inference/eval")
+    p.add_argument("--config", required=True)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--split", default="val")
+    p.add_argument("opts", nargs="*")
+    args = p.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO)
+    cfg = Config.fromfile(args.config)
+    Config.merge_from_options(cfg, args.opts)
+
+    model, statics, train_ds, val_ds, _ = build_world(cfg)
+    dataset = val_ds if args.split == "val" and val_ds is not None else train_ds
+
+    from ..train.curriculum import CurriculumConfig, Trainer  # init shapes via a trainer
+
+    trainer = Trainer(model, statics, train_ds, CurriculumConfig(log_dir=cfg.log_dir))
+    trainer.init_state()
+    state, meta = load_checkpoint(args.checkpoint, trainer.state, None)
+    log.info("loaded checkpoint %s (%s)", args.checkpoint, meta)
+
+    metrics = evaluate_dataset(model, state.params, state.batch_stats, dataset)
+    for k, v in metrics.items():
+        log.info("%s: %.4f", k, v)
+    print(metrics)
+
+
+if __name__ == "__main__":
+    main()

@@ -90,7 +90,9 @@ def discriminative_loss(
 
     # ---- pull (l_var) ----
     mu_null = jnp.concatenate([mu, jnp.zeros((1, f.shape[1]), jnp.float32)], axis=0)
-    d = jnp.linalg.norm(f - mu_null[seg], axis=1)
+    # safe norm: sqrt has an infinite gradient at 0, and f == mu exactly for
+    # single-superpoint instances — guard the radicand.
+    d = jnp.sqrt(jnp.sum(jnp.square(f - mu_null[seg]), axis=1) + 1e-12)
     hinge = jnp.square(jnp.maximum(d - cfg.delta_v, 0.0))
     per_inst = segment_sum(hinge * ok, seg, n_inst + 1)[:n_inst] / jnp.maximum(counts, 1.0)
     per_inst = per_inst.reshape(b, imax)
@@ -110,7 +112,7 @@ def discriminative_loss(
     l_dist = jnp.where(n_per_scene > 1, l_dist, 0.0)
 
     # ---- reg ----
-    l_reg = (jnp.linalg.norm(mu_b, axis=-1) * iv).sum(axis=1)
+    l_reg = (jnp.sqrt(jnp.sum(jnp.square(mu_b), axis=-1) + 1e-12) * iv).sum(axis=1)
 
     l_var = cfg.param_var * l_var
     l_dist = cfg.param_dist * l_dist
@@ -156,8 +158,11 @@ def multi_task_loss(
             w = sp_valid.astype(jnp.float32)
             denom = w.sum() + 1e-6
             norm_loss = (jnp.abs(pred - gt).sum(-1) * w).sum() / denom
-            gt_dir = gt / (jnp.linalg.norm(gt, axis=1, keepdims=True) + 1e-8)
-            pr_dir = pred / (jnp.linalg.norm(pred, axis=1, keepdims=True) + 1e-8)
+            def safe_norm(x):  # sqrt grad guard at 0
+                return jnp.sqrt(jnp.sum(jnp.square(x), axis=1, keepdims=True) + 1e-16)
+
+            gt_dir = gt / (safe_norm(gt) + 1e-8)
+            pr_dir = pred / (safe_norm(pred) + 1e-8)
             dir_loss = (-(gt_dir * pr_dir).sum(-1) * w).sum() / denom
             out["offset_norm_loss"] = norm_loss
             out["offset_dir_loss"] = dir_loss

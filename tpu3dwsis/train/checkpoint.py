@@ -1,0 +1,113 @@
+"""Checkpointing (orbax): model/optimizer state *and* the weak-label
+curriculum state.
+
+The reference checkpoints model+optimizer+scheduler with SIGINT masking
+(``utils/checkpoint.py:199-269``) but silently loses the propagated
+weak-label graphs on resume (SURVEY §5.4). Here the
+:class:`WeakLabelStore` arrays are part of the checkpoint payload, so
+mid-curriculum resume is exact.
+"""
+from __future__ import annotations
+
+import os
+import re
+import signal
+from contextlib import contextmanager
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from ..data.weak_labels import WeakLabelStore
+from .state import TrainState
+
+__all__ = ["save_checkpoint", "load_checkpoint", "latest_checkpoint"]
+
+
+@contextmanager
+def _delayed_interrupt():
+    """Mask SIGINT during save (``utils/checkpoint.py:199-213``)."""
+    received = []
+    try:
+        old = signal.signal(signal.SIGINT, lambda s, f: received.append((s, f)))
+        installed = True
+    except ValueError:  # not main thread
+        installed = False
+    try:
+        yield
+    finally:
+        if installed:
+            signal.signal(signal.SIGINT, old)
+            if received:
+                old(*received[0])
+
+
+def save_checkpoint(
+    path: str,
+    state: TrainState,
+    meta: Dict[str, Any],
+    weak_store: Optional[WeakLabelStore] = None,
+):
+    payload = {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "step": state.step,
+        "meta": dict(meta),
+    }
+    if weak_store is not None:
+        payload["weak"] = weak_store.state_to_arrays()
+    with _delayed_interrupt():
+        ckptr = ocp.PyTreeCheckpointer()
+        ckptr.save(os.path.abspath(path), payload, force=True)
+
+
+def load_checkpoint(
+    path: str,
+    state: Optional[TrainState] = None,
+    weak_store: Optional[WeakLabelStore] = None,
+):
+    """Restore a checkpoint; returns ``(TrainState, meta)``.
+
+    If ``state`` is given, its pytree structure guides dtype/sharding
+    restoration; otherwise raw arrays are returned. If ``weak_store`` is
+    given, its per-scene state is restored in place.
+    """
+    ckptr = ocp.PyTreeCheckpointer()
+    payload = ckptr.restore(os.path.abspath(path))
+    if weak_store is not None and "weak" in payload:
+        weak_store.state_from_arrays(
+            {
+                name: {k: np.asarray(v) for k, v in d.items()}
+                for name, d in payload["weak"].items()
+            }
+        )
+    new_state = TrainState(
+        params=payload["params"],
+        batch_stats=payload["batch_stats"],
+        opt_state=payload["opt_state"],
+        step=payload["step"],
+    )
+    if state is not None:
+        # re-adopt the reference structure (e.g. tuples vs lists in opt_state)
+        new_state = jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(state),
+            jax.tree_util.tree_leaves(new_state),
+        )
+    return new_state, payload.get("meta", {})
+
+
+def latest_checkpoint(log_dir: str) -> Optional[str]:
+    """Find the newest ``epoch_XXXXX_<stage>`` checkpoint directory
+    (reference globbing semantics, ``train_scannetv2.py:673-693``)."""
+    if not os.path.isdir(log_dir):
+        return None
+    cands = [
+        os.path.join(log_dir, d)
+        for d in os.listdir(log_dir)
+        if re.match(r"epoch_\d{5}_", d)
+    ]
+    if not cands:
+        return None
+    return max(cands, key=os.path.getmtime)  # most recent, across stages

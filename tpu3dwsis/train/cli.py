@@ -1,0 +1,153 @@
+"""Training entry point: ``python -m tpu3dwsis.train.cli --config ...``.
+
+The reference equivalent is ``python train_scannetv2.py --config
+config/ScanNet_v2_3D_WSIS.yaml`` (``README.md:47-55``); supports the same
+dotted CLI overrides and resume.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+from typing import List
+
+import numpy as np
+
+from ..core.containers import BatchStatics
+from ..data.loader import SceneDataset
+from ..data.scene import Scene
+from ..data.weak_labels import WeakLabelStore
+from ..nn.network import NetConfig, WSISNet
+from ..utils.config import Config
+from ..utils.logging import collect_logger
+from .checkpoint import latest_checkpoint, load_checkpoint
+from .curriculum import CurriculumConfig, Trainer
+
+__all__ = ["main", "build_world"]
+
+
+def _load_scenes(cfg, split: str) -> List[Scene]:
+    ds = cfg.data.dataset
+    if ds == "synthetic":
+        from ..data.synthetic import make_scene
+
+        n = int(cfg.data.get("num_scenes", 4))
+        base = 0 if split == "train" else 1000
+        return [
+            make_scene(seed=base + i, num_instances=4, points_per_instance=120, num_background=400)
+            for i in range(n)
+        ]
+    from .. import data as _data
+    from ..data.scannet import load_split
+
+    root = cfg.data.data_root
+    if ds == "s3dis":
+        from ..data.s3dis import load_area_split
+
+        return load_area_split(root, split, test_area=int(cfg.data.get("test_area", 5)))
+    return load_split(os.path.join(root, split))
+
+
+def statics_from_cfg(cfg) -> BatchStatics:
+    b = cfg.buckets
+    return BatchStatics(
+        spatial_shape=tuple(b.spatial_shape),
+        max_batch=int(b.max_batch),
+        max_voxels=int(b.max_voxels),
+        num_levels=int(b.num_levels),
+        level_sizes=tuple(b.level_sizes),
+        max_points=int(b.max_points),
+        max_superpoints=int(b.max_superpoints),
+        max_edges=int(b.max_edges),
+        max_instances=int(b.max_instances),
+    )
+
+
+def build_world(cfg, logger=None):
+    """Construct (model, statics, train_dataset, val_dataset, trainer_cfg)."""
+    statics = statics_from_cfg(cfg)
+    model = WSISNet(
+        NetConfig(
+            classes=int(cfg.model.classes),
+            input_channel=int(cfg.model.input_channel),
+            use_coords=bool(cfg.model.use_coords),
+            media=int(cfg.model.media),
+            blocks=int(cfg.model.blocks),
+            block_reps=int(cfg.model.block_reps),
+        )
+    )
+    train_scenes = _load_scenes(cfg, "train")
+    try:
+        val_scenes = _load_scenes(cfg, "val")
+    except Exception:
+        val_scenes = []
+
+    store = WeakLabelStore(
+        {s.name: s for s in train_scenes},
+        classes=int(cfg.model.classes),
+        scale=float(cfg.data.scale),
+    )
+    store.acquire(
+        np.random.default_rng(int(cfg.seed)), annotation_num=int(cfg.data.annotation_num)
+    )
+
+    is_s3dis = cfg.data.dataset == "s3dis"
+    train_ds = SceneDataset(
+        train_scenes,
+        statics,
+        weak_store=store,
+        scale=float(cfg.data.scale),
+        max_npoint=int(cfg.data.max_npoint),
+        full_scale_hi=int(cfg.data.full_scale[1]),
+        crop_mode="block" if is_s3dis else "shift",
+        subsample=bool(cfg.data.get("subsample_train", False)) if is_s3dis else False,
+    )
+    val_ds = (
+        SceneDataset(val_scenes, statics, scale=float(cfg.data.scale)) if val_scenes else None
+    )
+    cur = cfg.curriculum
+    tcfg = CurriculumConfig(
+        batch_size=int(cur.batch_size),
+        lr=float(cfg.optimizer.lr),
+        weight_decay=float(cfg.optimizer.weight_decay),
+        poly_power=float(cfg.lr_scheduler.power),
+        stage1_epochs=int(cur.stage1_epochs),
+        joint_training_epoch=int(cur.joint_training_epoch),
+        stage2_rounds=tuple(cur.stage2_rounds),
+        stage3_epochs=int(cur.stage3_epochs),
+        save_freq=int(cur.save_freq),
+        eval_freq=int(cur.eval_freq),
+        whole_scene_match_radius=float(cur.whole_scene_match_radius),
+        log_dir=str(cfg.log_dir),
+        seed=int(cfg.seed),
+    )
+    return model, statics, train_ds, val_ds, tcfg
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="tpu3dwsis training")
+    p.add_argument("--config", required=True)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("opts", nargs="*", help="dotted config overrides key=value")
+    args = p.parse_args(argv)
+
+    cfg = Config.fromfile(args.config)
+    Config.merge_from_options(cfg, args.opts)
+    logger, log_dir = collect_logger(prefix=os.path.basename(cfg.log_dir))
+    cfg.log_dir = log_dir
+
+    model, statics, train_ds, val_ds, tcfg = build_world(cfg, logger)
+    trainer = Trainer(model, statics, train_ds, tcfg, val_dataset=val_ds)
+    trainer.init_state()
+
+    if args.resume:
+        ckpt = latest_checkpoint(log_dir)
+        if ckpt:
+            trainer.state, meta = load_checkpoint(ckpt, trainer.state, train_ds.weak_store)
+            logger.info("resumed from %s (%s)", ckpt, meta)
+
+    trainer.run()
+    logger.info("training complete")
+
+
+if __name__ == "__main__":
+    main()

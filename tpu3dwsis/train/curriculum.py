@@ -1,0 +1,276 @@
+"""The 3-stage weakly-supervised curriculum driver.
+
+Re-implements ``train_scannetv2.py main()`` (``:695-784``) + the propagation
+drivers (``:403-670``):
+
+* **Stage 1** (*semantic*): train with point-semantic loss only until
+  ``joint_training_epoch``, then joint superpoint losses (no offsets);
+* **Stage 2** (two rounds on ScanNet): run an eval-mode pass over every
+  training scene, build the dense per-scene affinity matrix from the edge
+  attention, call the weak-label propagation, then retrain with offset
+  supervision on;
+* **Stage 3** (*whole_scene*): propagate labels to the whole scene via
+  predicted offsets, add occupancy/size supervision, final training run.
+
+Instead of mutating a config object mid-run (``:771-783``), each stage is
+an explicit :class:`StageConfig`; each (stage, flags) pair compiles its own
+jitted step.
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+from ..core.containers import BatchStatics
+from ..data.collate import to_scene_batch
+from ..data.loader import SceneDataset, batch_iterator
+from ..nn.losses import LossConfig, LossFlags
+from ..nn.network import WSISNet
+from .checkpoint import save_checkpoint
+from .optim import make_optimizer
+from .state import TrainState, init_train_state
+from .step import make_forward_fn, make_train_step
+
+__all__ = ["StageConfig", "CurriculumConfig", "Trainer"]
+
+log = logging.getLogger("tpu3dwsis.train")
+
+
+@dataclasses.dataclass
+class StageConfig:
+    name: str
+    epochs: int
+    joint_training_epoch: int = -1  # sp losses once epoch > this
+    supervise_sp_offset: bool = False
+    supervise_instance_size: bool = False
+
+
+@dataclasses.dataclass
+class CurriculumConfig:
+    """Defaults = the published ScanNet recipe (``train_scannetv2.py:760-784``,
+    ``config/ScanNet_v2_3D_WSIS.yaml``)."""
+
+    batch_size: int = 10
+    lr: float = 1e-3
+    weight_decay: float = 1e-4
+    poly_power: float = 0.9
+    stage1_epochs: int = 200
+    joint_training_epoch: int = 120
+    stage2_rounds: Sequence[int] = (80, 80)
+    stage3_epochs: int = 120
+    save_freq: int = 20
+    eval_freq: int = 40
+    whole_scene_match_radius: float = 0.9  # 1.2 for S3DIS (s3dis_dataset.py:986)
+    log_dir: str = "log/run"
+    seed: int = 123
+
+
+class Trainer:
+    def __init__(
+        self,
+        model: WSISNet,
+        statics: BatchStatics,
+        train_dataset: SceneDataset,
+        cfg: CurriculumConfig,
+        val_dataset: Optional[SceneDataset] = None,
+        eval_statics: Optional[BatchStatics] = None,
+        loss_cfg: Optional[LossConfig] = None,
+    ):
+        assert train_dataset.weak_store is not None, "training needs a WeakLabelStore"
+        self.model = model
+        self.statics = statics
+        self.eval_statics = eval_statics or statics
+        self.train_dataset = train_dataset
+        self.val_dataset = val_dataset
+        self.cfg = cfg
+        self.loss_cfg = loss_cfg or LossConfig(
+            classes=model.cfg.classes,
+            max_instances=statics.max_instances,
+            num_scenes=statics.max_batch,
+        )
+        self.rng = np.random.default_rng(cfg.seed)
+        self.state: Optional[TrainState] = None
+        self.forward = make_forward_fn(model, self.eval_statics)
+        self.history: List[Dict[str, float]] = []
+        os.makedirs(cfg.log_dir, exist_ok=True)
+
+    # ------------------------------------------------------------------ init
+    def init_state(self):
+        ds = self.train_dataset
+        arrays = ds.collate_batch(
+            list(range(min(self.cfg.batch_size, len(ds.scenes)))), self.rng, training=True
+        )
+        batch = to_scene_batch(arrays)
+        from ..nn.network import preprocess
+
+        pre = preprocess(batch, self.statics, use_coords=self.model.cfg.use_coords)
+        variables = self.model.init(jax.random.PRNGKey(self.cfg.seed), batch, pre, train=False)
+        tx = make_optimizer(variables["params"])  # placeholder; re-made per stage
+        self.state = init_train_state(variables["params"], variables["batch_stats"], tx)
+
+    # ------------------------------------------------------------- one stage
+    def train_stage(self, stage: StageConfig):
+        cfg = self.cfg
+        ds = self.train_dataset
+        steps_per_epoch = max(len(ds.scenes) // cfg.batch_size, 1)
+        tx = make_optimizer(
+            self.state.params,
+            base_lr=cfg.lr,
+            weight_decay=cfg.weight_decay,
+            max_epochs=stage.epochs,
+            steps_per_epoch=steps_per_epoch,
+            power=cfg.poly_power,
+        )
+        # fresh optimizer per stage (reference re-creates it in do_train)
+        self.state = self.state.replace(opt_state=tx.init(self.state.params), step=0)
+
+        steps = {}
+        for sp_on in (False, True):
+            flags = LossFlags(
+                superpoint_losses=sp_on,
+                supervise_sp_offset=stage.supervise_sp_offset,
+                supervise_instance_size=stage.supervise_instance_size,
+            )
+            steps[sp_on] = make_train_step(
+                self.model, tx, self.statics, self.loss_cfg, flags, donate=True
+            )
+
+        for epoch in range(1, stage.epochs + 1):
+            sp_on = epoch > stage.joint_training_epoch
+            step_fn = steps[sp_on]
+            t0 = time.time()
+            losses = []
+            for arrays in batch_iterator(ds, cfg.batch_size, self.rng, training=True):
+                batch = to_scene_batch(arrays)
+                self.state, loss_out = step_fn(self.state, batch)
+                losses.append(float(loss_out["loss"]))
+            mean_loss = float(np.mean(losses)) if losses else float("nan")
+            self.history.append(
+                {"stage": stage.name, "epoch": epoch, "loss": mean_loss, "time": time.time() - t0}
+            )
+            log.info(
+                "stage %s epoch %d/%d loss %.4f (%.1fs)",
+                stage.name, epoch, stage.epochs, mean_loss, time.time() - t0,
+            )
+            if epoch % cfg.save_freq == 0 or epoch == stage.epochs:
+                path = os.path.join(cfg.log_dir, f"epoch_{epoch:05d}_{stage.name}")
+                save_checkpoint(
+                    path,
+                    self.state,
+                    {"epoch": epoch, "stage": stage.name},
+                    self.train_dataset.weak_store,
+                )
+            if self.val_dataset is not None and epoch % cfg.eval_freq == 0:
+                self.validate()
+
+    # ------------------------------------------------- per-scene eval passes
+    def _scene_outputs(self, scene_idx: int) -> Dict[str, np.ndarray]:
+        """Eval-mode forward of one whole scene (batch 1, no aug/crop),
+        trimmed back to the scene's true superpoint count."""
+        ds = self.train_dataset
+        scene = ds.scenes[scene_idx]
+        arrays = ds.collate_batch([scene_idx], self.rng, training=False)
+        batch = to_scene_batch(arrays)
+        outs = self.forward(self.state.params, self.state.batch_stats, batch)
+        s = scene.num_superpoints
+        soft = np.asarray(outs["sp_semantic_softmax"])[:s]
+        return {
+            "sp_value": soft.max(axis=1),
+            "sp_pred": soft.argmax(axis=1),
+            "sp_offset": np.asarray(outs["pred_sp_offset_vectors"])[:s],
+            "edge_affinity": np.asarray(outs["edge_affinity"]),
+            "edge_u": np.asarray(batch.edge_u),
+            "edge_v": np.asarray(batch.edge_v),
+            "edge_valid": np.asarray(batch.edge_valid),
+        }
+
+    def propagation_pass(self, iteration_ind: int):
+        """Stage-2 affinity propagation over every training scene
+        (``propagation_label``, ``train_scannetv2.py:488-581``)."""
+        ds = self.train_dataset
+        store = ds.weak_store
+        for idx, scene in enumerate(ds.scenes):
+            o = self._scene_outputs(idx)
+            s = scene.num_superpoints
+            aff = np.zeros((s, s))
+            ev = o["edge_valid"]
+            aff[o["edge_u"][ev], o["edge_v"][ev]] = o["edge_affinity"][ev]
+            store.propagate(scene.name, o["sp_value"], o["sp_pred"], aff, iteration_ind)
+        store.derive_point_labels()
+        log.info("propagation %d done: %s", iteration_ind, store.label_stats())
+
+    def whole_scene_pass(self):
+        """Stage-3 pseudo-instance generation
+        (``propagation_label_to_whole_scene``, ``train_scannetv2.py:582-670``)."""
+        ds = self.train_dataset
+        store = ds.weak_store
+        for idx, scene in enumerate(ds.scenes):
+            o = self._scene_outputs(idx)
+            store.propagate_to_whole_scene(
+                scene.name,
+                o["sp_value"],
+                o["sp_pred"],
+                o["sp_offset"],
+                match_radius=self.cfg.whole_scene_match_radius,
+            )
+        store.derive_point_labels(add_occupancy=True, add_instance_size=True)
+        log.info("whole-scene propagation done: %s", store.label_stats())
+
+    def validate(self) -> Dict[str, float]:
+        """Mid-train semantic validation (``do_validation``,
+        ``train_scannetv2.py:296-400``): point / superpoint-broadcast IoU."""
+        from ..eval.semantic import SemanticEvaluator
+
+        if self.val_dataset is None:
+            return {}
+        pt_ev = SemanticEvaluator([str(i) for i in range(self.model.cfg.classes)])
+        sp_ev = SemanticEvaluator([str(i) for i in range(self.model.cfg.classes)])
+        for idx, scene in enumerate(self.val_dataset.scenes):
+            arrays = self.val_dataset.collate_batch([idx], self.rng, training=False)
+            batch = to_scene_batch(arrays)
+            outs = self.forward(self.state.params, self.state.batch_stats, batch)
+            n = scene.num_points
+            pt_pred = np.asarray(outs["semantic_scores"].argmax(-1))[:n]
+            pt_ev.process(pt_pred, scene.sem)
+            sp_pred = np.asarray(outs["sp_semantic_scores"].argmax(-1))[: scene.num_superpoints]
+            sp_ev.process(sp_pred[scene.superpoint], scene.sem)
+        res = {
+            "point_miou": pt_ev.evaluate()["miou"],
+            "sp_miou": sp_ev.evaluate()["miou"],
+        }
+        log.info("validation: %s", res)
+        return res
+
+    # ------------------------------------------------------------------ main
+    def run(self):
+        """The full 3-stage curriculum (``main()``, ``train_scannetv2.py:760-784``)."""
+        cfg = self.cfg
+        if self.state is None:
+            self.init_state()
+
+        self.train_stage(
+            StageConfig(
+                "semantic", cfg.stage1_epochs, joint_training_epoch=cfg.joint_training_epoch
+            )
+        )
+        for ind, epochs in enumerate(cfg.stage2_rounds):
+            self.propagation_pass(ind)
+            self.train_stage(
+                StageConfig(f"round{ind}", epochs, joint_training_epoch=-1, supervise_sp_offset=True)
+            )
+        self.whole_scene_pass()
+        self.train_stage(
+            StageConfig(
+                "whole_scene",
+                cfg.stage3_epochs,
+                joint_training_epoch=-1,
+                supervise_sp_offset=True,
+                supervise_instance_size=True,
+            )
+        )
