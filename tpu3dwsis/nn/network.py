@@ -37,6 +37,11 @@ class NetConfig(NamedTuple):
     sp_feat_dim: int = 64
     ecc_iterations: int = 7
     disc_dim: int = 7
+    # U-Net compute dtype: "bfloat16" halves the dominant gather/GEMM HBM
+    # traffic; accumulations stay fp32 (preferred_element_type) and BN
+    # statistics are always fp32. Heads/ECC run fp32 (cheap, small).
+    unet_dtype: str = "float32"
+    remat: bool = False  # jax.checkpoint each residual block (memory for FLOPs)
 
 
 class Preprocessed(NamedTuple):
@@ -109,9 +114,11 @@ class WSISNet(nn.Module):
         ret: Dict[str, jax.Array] = {}
 
         # ---- backbone: sparse U-Net over voxels ----
-        vox_out = SparseUNet(cfg.media, cfg.blocks, cfg.block_reps, name="unet")(
-            pre.voxel_feats, pre.plan, train
-        )
+        unet_in = pre.voxel_feats.astype(jnp.dtype(cfg.unet_dtype))
+        vox_out = SparseUNet(
+            cfg.media, cfg.blocks, cfg.block_reps, cfg.remat, name="unet"
+        )(unet_in, pre.plan, train)
+        vox_out = vox_out.astype(jnp.float32)
         # voxel -> point (invalid points read the appended null row)
         vox_out_null = jnp.concatenate(
             [vox_out, jnp.zeros((1, vox_out.shape[1]), vox_out.dtype)], axis=0

@@ -82,7 +82,9 @@ class ResidualBlock(nn.Module):
             identity = x
         else:
             # spconv SubMConv3d(kernel_size=1, bias=False) == pointwise linear
-            identity = nn.Dense(self.features, use_bias=False, name="i_branch")(x)
+            identity = nn.Dense(
+                self.features, use_bias=False, dtype=x.dtype, name="i_branch"
+            )(x)
         h = MaskedBatchNorm(cin, eps=self.bn_eps, momentum=self.bn_momentum, name="bn1")(
             x, mask, train
         )
@@ -97,20 +99,28 @@ class ResidualBlock(nn.Module):
 
 
 class UBlock(nn.Module):
-    """Recursive U-Net block over ``nPlanes`` (``sparse_unet3d.py:213-350``)."""
+    """Recursive U-Net block over ``nPlanes`` (``sparse_unet3d.py:213-350``).
+
+    ``remat`` wraps each residual block in ``jax.checkpoint`` so backward
+    re-runs the gather/GEMMs instead of keeping every [M, C] activation
+    live — the TPU answer to the reference's per-iteration
+    ``torch.cuda.empty_cache()`` memory pressure (``train_scannetv2.py:144``).
+    """
 
     nPlanes: Sequence[int]
     block_reps: int = 2
     depth: int = 0  # index into plan.levels
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, plan: UNetPlan, train: bool):
         lp = plan.levels[self.depth]
         mask = lp.level.valid
         planes = self.nPlanes[0]
+        Block = nn.remat(ResidualBlock, static_argnums=(4,)) if self.remat else ResidualBlock
 
         for i in range(self.block_reps):
-            x = ResidualBlock(planes, name=f"block{i}")(x, lp.subm_nbr, mask, train)
+            x = Block(planes, name=f"block{i}")(x, lp.subm_nbr, mask, train)
 
         if len(self.nPlanes) > 1:
             nxt = plan.levels[self.depth + 1]
@@ -121,7 +131,7 @@ class UBlock(nn.Module):
             h = nn.relu(h)
             h = DownConv(self.nPlanes[1], name="down_conv")(h, lp.down_nbr)
             h = UBlock(
-                self.nPlanes[1:], self.block_reps, self.depth + 1, name="u"
+                self.nPlanes[1:], self.block_reps, self.depth + 1, self.remat, name="u"
             )(h, plan, train)
             # up: BN→ReLU→SparseInverseConv3d sharing the down table
             h = MaskedBatchNorm(self.nPlanes[1], name="up_bn")(h, nxt_mask, train)
@@ -129,7 +139,7 @@ class UBlock(nn.Module):
             h = InverseConv(planes, m_out=x.shape[0], name="up_conv")(h, lp.down_nbr)
             x = jnp.concatenate([identity, h], axis=-1)
             for i in range(self.block_reps):
-                x = ResidualBlock(planes, name=f"tail{i}")(x, lp.subm_nbr, mask, train)
+                x = Block(planes, name=f"tail{i}")(x, lp.subm_nbr, mask, train)
         return x
 
 
@@ -140,6 +150,7 @@ class SparseUNet(nn.Module):
     media: int = 32
     blocks: int = 5
     block_reps: int = 2
+    remat: bool = False
 
     @nn.compact
     def __call__(self, voxel_feats, plan: UNetPlan, train: bool):
@@ -149,6 +160,6 @@ class SparseUNet(nn.Module):
         )
         lp0 = plan.levels[0]
         x = SubMConv(self.media, name="input_conv")(voxel_feats, lp0.subm_nbr)
-        x = UBlock(planes, self.block_reps, 0, name="unet")(x, plan, train)
+        x = UBlock(planes, self.block_reps, 0, self.remat, name="unet")(x, plan, train)
         x = MaskedBatchNorm(self.media, name="output_bn")(x, lp0.level.valid, train)
         return nn.relu(x)
