@@ -61,6 +61,8 @@ def main():
     from tpu3dwsis.train.step import make_forward_fn, make_train_step
 
     scenes = get_scenes()
+    # capacities ~1.3x the measured per-batch sizes of the cached scenes
+    # (100k pts / 98k voxels / 3.1k superpoints / 24k edges per 4-scene batch)
     statics = BatchStatics(
         spatial_shape=(512, 512, 512),
         max_batch=BATCH,
@@ -68,11 +70,14 @@ def main():
         num_levels=5,
         level_sizes=(131072, 65536, 32768, 16384, 8192),
         max_points=131072,
-        max_superpoints=32768,
-        max_edges=524288,
+        max_superpoints=4096,
+        max_edges=32768,
         max_instances=32,
     )
-    model = WSISNet(NetConfig(classes=20, media=32, blocks=5))
+    unet_dtype = os.environ.get("BENCH_UNET_DTYPE", "bfloat16")
+    model = WSISNet(
+        NetConfig(classes=20, media=32, blocks=5, unet_dtype=unet_dtype, remat=True)
+    )
 
     def labels_for(sc):
         return SceneLabels(

@@ -133,6 +133,9 @@ def collate(
 
     p_cursor, sp_cursor, e_cursor = 0, 0, 0
     total_inst = 0
+    # host-only per-scene offset metadata (underscore keys are skipped by
+    # to_scene_batch); mirrors the reference's batch_offsets/sp_batch_offsets
+    point_offsets, sp_offsets, edge_offsets = [0], [0], [0]
 
     for i, (scene, lab) in enumerate(zip(scenes, labels)):
         if training and subsample:
@@ -240,11 +243,19 @@ def collate(
         sp_cursor += n_sp
         e_cursor += n_e
         total_inst += max(len(uniq_ins), 0)
+        point_offsets.append(p_cursor)
+        sp_offsets.append(sp_cursor)
+        edge_offsets.append(e_cursor)
 
+    out["_point_offsets"] = np.asarray(point_offsets)
+    out["_sp_offsets"] = np.asarray(sp_offsets)
+    out["_edge_offsets"] = np.asarray(edge_offsets)
     return out
 
 
 def to_scene_batch(arrays: Dict[str, np.ndarray]) -> SceneBatch:
     import jax.numpy as jnp
 
-    return SceneBatch(**{k: jnp.asarray(v) for k, v in arrays.items()})
+    return SceneBatch(
+        **{k: jnp.asarray(v) for k, v in arrays.items() if not k.startswith("_")}
+    )

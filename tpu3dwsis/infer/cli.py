@@ -45,6 +45,8 @@ def evaluate_dataset(
     with_instances: bool = True,
 ):
     """Run the full test protocol over a dataset; returns a metrics dict."""
+    from .batched import batched_scene_outputs
+
     forward = make_forward_fn(model, dataset.statics)
     classes = model.cfg.classes
     pt_ev = SemanticEvaluator([str(i) for i in range(classes)])
@@ -55,10 +57,10 @@ def evaluate_dataset(
     )
     rng = np.random.default_rng(567)  # reference test seed (config :15)
 
-    for idx, scene in enumerate(dataset.scenes):
-        arrays = dataset.collate_batch([idx], rng, training=False)
-        batch = to_scene_batch(arrays)
-        outs = forward(params, batch_stats, batch)
+    done = 0
+    for scene, outs in batched_scene_outputs(
+        forward, params, batch_stats, dataset, dataset.statics.max_batch, rng
+    ):
         n, s = scene.num_points, scene.num_superpoints
 
         point_pred = np.asarray(outs["semantic_scores"].argmax(-1))[:n]
@@ -82,9 +84,9 @@ def evaluate_dataset(
                 scene.superpoint,
                 scene.edges,
                 sp_head_pred,
-                np.asarray(outs["pred_sp_offset_vectors"])[:s],
-                np.asarray(outs["pred_sp_occupancy"])[:s],
-                np.asarray(outs["pred_sp_ins_size"])[:s],
+                outs["pred_sp_offset_vectors"][:s],
+                outs["pred_sp_occupancy"][:s],
+                outs["pred_sp_ins_size"][:s],
                 SCANNET_VALID_CLASS_MASK,
                 bfs_ratio=bfs_ratio,
             )
@@ -98,7 +100,8 @@ def evaluate_dataset(
                 res.confidences,
                 gt_ids,
             )
-        log.info("evaluated %s (%d/%d)", scene.name, idx + 1, len(dataset.scenes))
+        done += 1
+        log.info("evaluated %s (%d/%d)", scene.name, done, len(dataset.scenes))
 
     metrics = {
         "point_miou": pt_ev.evaluate()["miou"],

@@ -34,13 +34,16 @@ def _conv_init(k: int, cin: int):
 
 
 class SubMConv(nn.Module):
-    """Submanifold 3³ conv (bias-free), weights ``[27, Cin, Cout]``."""
+    """Submanifold conv (bias-free), weights ``[K, Cin, Cout]`` where K is
+    the number of kernel offsets in the supplied neighbor table (27 for 3³,
+    9 for the factorized (1,3,3)/(3,1,3) kernels)."""
 
     features: int
 
     @nn.compact
     def __call__(self, x, subm_nbr):
-        w = self.param("kernel", _conv_init(27, x.shape[-1]), (27, x.shape[-1], self.features))
+        k = subm_nbr.shape[0]
+        w = self.param("kernel", _conv_init(k, x.shape[-1]), (k, x.shape[-1], self.features))
         return sparse_conv.subm_conv(x, subm_nbr, w.astype(x.dtype))
 
 
@@ -65,6 +68,54 @@ class InverseConv(nn.Module):
     def __call__(self, x, down_nbr):
         w = self.param("kernel", _conv_init(8, x.shape[-1]), (8, x.shape[-1], self.features))
         return sparse_conv.inverse_conv(x, down_nbr, w.astype(x.dtype), self.m_out)
+
+
+def _axis_zero_rows(axis: int):
+    """Row indices of the 27-offset table whose offset along ``axis`` is 0 —
+    the (1,3,3)/(3,1,3) factorized kernels are subsets of the 3³ kernel, so
+    the asymmetric blocks reuse slices of the shared level table."""
+    import numpy as _np
+
+    from ..ops.rulebook import subm_offsets as _so
+
+    return _np.where(_so(3)[:, axis] == 0)[0]
+
+
+class VGGBlock(nn.Module):
+    """BN→ReLU→SubM3 (``sparse_unet3d.py:175-211``, ``normalize_before``)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x, subm_nbr, mask, train: bool):
+        h = MaskedBatchNorm(x.shape[-1], name="bn")(x, mask, train)
+        h = nn.relu(h)
+        return SubMConv(self.features, name="conv")(h, subm_nbr)
+
+
+class AsymResidualBlock(nn.Module):
+    """Two-branch factorized residual block (``sparse_unet3d.py:40-100``):
+    branch 1 = 3×1×3 then 1×3×3 convs, branch 2 the reverse, summed.
+    Kernel tables are the axis-zero slices of the level's 3³ table."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x, subm_nbr, mask, train: bool):
+        rows_133 = _axis_zero_rows(0)  # (1,3,3): dx == 0
+        rows_313 = _axis_zero_rows(1)  # (3,1,3): dy == 0
+        nbr_133 = subm_nbr[rows_133]
+        nbr_313 = subm_nbr[rows_313]
+
+        def branch(first_nbr, second_nbr, name):
+            h = MaskedBatchNorm(x.shape[-1], name=f"{name}_bn1")(x, mask, train)
+            h = nn.leaky_relu(h)
+            h = SubMConv(self.features, name=f"{name}_conv1")(h, first_nbr)
+            h = MaskedBatchNorm(self.features, name=f"{name}_bn2")(h, mask, train)
+            h = nn.leaky_relu(h)
+            return SubMConv(self.features, name=f"{name}_conv2")(h, second_nbr)
+
+        return branch(nbr_313, nbr_133, "b1") + branch(nbr_133, nbr_313, "b2")
 
 
 class ResidualBlock(nn.Module):
@@ -111,13 +162,15 @@ class UBlock(nn.Module):
     block_reps: int = 2
     depth: int = 0  # index into plan.levels
     remat: bool = False
+    block: str = "residual"  # residual | vgg | asym (sparse_unet3d.py:229-237)
 
     @nn.compact
     def __call__(self, x, plan: UNetPlan, train: bool):
         lp = plan.levels[self.depth]
         mask = lp.level.valid
         planes = self.nPlanes[0]
-        Block = nn.remat(ResidualBlock, static_argnums=(4,)) if self.remat else ResidualBlock
+        base = {"residual": ResidualBlock, "vgg": VGGBlock, "asym": AsymResidualBlock}[self.block]
+        Block = nn.remat(base, static_argnums=(4,)) if self.remat else base
 
         for i in range(self.block_reps):
             x = Block(planes, name=f"block{i}")(x, lp.subm_nbr, mask, train)
@@ -131,7 +184,8 @@ class UBlock(nn.Module):
             h = nn.relu(h)
             h = DownConv(self.nPlanes[1], name="down_conv")(h, lp.down_nbr)
             h = UBlock(
-                self.nPlanes[1:], self.block_reps, self.depth + 1, self.remat, name="u"
+                self.nPlanes[1:], self.block_reps, self.depth + 1, self.remat,
+                self.block, name="u"
             )(h, plan, train)
             # up: BN→ReLU→SparseInverseConv3d sharing the down table
             h = MaskedBatchNorm(self.nPlanes[1], name="up_bn")(h, nxt_mask, train)
@@ -151,6 +205,7 @@ class SparseUNet(nn.Module):
     blocks: int = 5
     block_reps: int = 2
     remat: bool = False
+    block: str = "residual"
 
     @nn.compact
     def __call__(self, voxel_feats, plan: UNetPlan, train: bool):
@@ -160,6 +215,8 @@ class SparseUNet(nn.Module):
         )
         lp0 = plan.levels[0]
         x = SubMConv(self.media, name="input_conv")(voxel_feats, lp0.subm_nbr)
-        x = UBlock(planes, self.block_reps, 0, self.remat, name="unet")(x, plan, train)
+        x = UBlock(planes, self.block_reps, 0, self.remat, self.block, name="unet")(
+            x, plan, train
+        )
         x = MaskedBatchNorm(self.media, name="output_bn")(x, lp0.level.valid, train)
         return nn.relu(x)

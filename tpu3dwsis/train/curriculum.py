@@ -99,6 +99,10 @@ class Trainer:
         self.forward = make_forward_fn(model, self.eval_statics)
         self.history: List[Dict[str, float]] = []
         os.makedirs(cfg.log_dir, exist_ok=True)
+        from ..utils.logging import MetricsWriter
+
+        self.writer = MetricsWriter(cfg.log_dir)
+        self.global_step = 0
 
     # ------------------------------------------------------------------ init
     def init_state(self):
@@ -146,17 +150,27 @@ class Trainer:
             step_fn = steps[sp_on]
             t0 = time.time()
             losses = []
+            data_t = step_t = 0.0
+            t_last = time.time()
             for arrays in batch_iterator(ds, cfg.batch_size, self.rng, training=True):
+                t_fetch = time.time()
+                data_t += t_fetch - t_last
                 batch = to_scene_batch(arrays)
                 self.state, loss_out = step_fn(self.state, batch)
                 losses.append(float(loss_out["loss"]))
+                t_last = time.time()
+                step_t += t_last - t_fetch
+                self.global_step += 1
+                self.writer.update(
+                    {k: v for k, v in loss_out.items()}, self.global_step
+                )
             mean_loss = float(np.mean(losses)) if losses else float("nan")
             self.history.append(
                 {"stage": stage.name, "epoch": epoch, "loss": mean_loss, "time": time.time() - t0}
             )
             log.info(
-                "stage %s epoch %d/%d loss %.4f (%.1fs)",
-                stage.name, epoch, stage.epochs, mean_loss, time.time() - t0,
+                "stage %s epoch %d/%d loss %.4f (%.1fs: data %.1fs step %.1fs)",
+                stage.name, epoch, stage.epochs, mean_loss, time.time() - t0, data_t, step_t,
             )
             if epoch % cfg.save_freq == 0 or epoch == stage.epochs:
                 path = os.path.join(cfg.log_dir, f"epoch_{epoch:05d}_{stage.name}")
