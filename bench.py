@@ -52,6 +52,15 @@ def get_scenes():
 def main():
     import jax
 
+    from tpu3dwsis.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache(os.path.join(CACHE, "jax"))
+    verbose = os.environ.get("BENCH_VERBOSE", "1") == "1"
+
+    def note(msg):
+        if verbose:
+            print(f"# bench: {msg}", file=sys.stderr, flush=True)
+
     from tpu3dwsis.core.containers import BatchStatics
     from tpu3dwsis.data.collate import SceneLabels, collate, to_scene_batch
     from tpu3dwsis.nn.losses import LossConfig, LossFlags
@@ -97,8 +106,10 @@ def main():
         arrays = collate(group, [labels_for(s) for s in group], statics, rng, training=True)
         batches.append(to_scene_batch(arrays))
 
+    note("scenes collated; initializing model (first device compile)")
     pre = preprocess(batches[0], statics)
     variables = model.init(jax.random.PRNGKey(0), batches[0], pre, train=False)
+    note("init done")
     tx = make_optimizer(variables["params"], max_epochs=120, steps_per_epoch=30)
     state = init_train_state(variables["params"], variables["batch_stats"], tx)
 
@@ -107,25 +118,33 @@ def main():
     step = make_train_step(model, tx, statics, loss_cfg, flags, donate=True)
 
     # ---- train throughput ----
-    state, _ = step(state, batches[0])  # compile
-    jax.block_until_ready(state.params)
+    note("compiling train step")
+    state, loss_out = step(state, batches[0])  # compile
+    float(loss_out["loss"])  # host read = true sync (relay block_until_ready lies)
+    note("train step compiled; timing")
     n_steps = 12
     t0 = time.perf_counter()
     for i in range(n_steps):
         state, loss_out = step(state, batches[i % 2])
-    jax.block_until_ready(state.params)
+    final_loss = float(loss_out["loss"])  # depends on the full chain of steps
     train_dt = time.perf_counter() - t0
     train_scenes_per_sec = BATCH * n_steps / train_dt
 
     # ---- inference throughput (eval forward) ----
+    note("compiling inference forward")
     forward = make_forward_fn(model, statics)
     outs = forward(state.params, state.batch_stats, batches[0])
-    jax.block_until_ready(outs["semantic_scores"])
+    float(outs["semantic_scores"].sum())
+    note("forward compiled; timing")
     n_inf = 12
+    acc = 0.0
     t0 = time.perf_counter()
     for i in range(n_inf):
         outs = forward(state.params, state.batch_stats, batches[i % 2])
-    jax.block_until_ready(outs["semantic_scores"])
+        # tiny dependent accumulator keeps dispatch async but the final host
+        # read below waits for every forward
+        acc = acc + outs["semantic_scores"][0, 0]
+    float(acc)
     inf_dt = time.perf_counter() - t0
     total_points = sum(
         int(np.asarray(b.point_valid).sum()) for b in (batches * ((n_inf + 1) // 2))[:n_inf]
@@ -147,6 +166,7 @@ def main():
                     "batch": BATCH,
                     "device": str(jax.devices()[0]),
                     "train_step_ms": round(1000 * train_dt / n_steps, 1),
+                    "final_loss": round(final_loss, 4),
                 },
             }
         )
