@@ -115,35 +115,61 @@ def main():
 
     loss_cfg = LossConfig(classes=20, max_instances=32, num_scenes=BATCH)
     flags = LossFlags(True, True, True)  # stage-3: every loss term on
-    step = make_train_step(model, tx, statics, loss_cfg, flags, donate=True)
+    raw_step = make_train_step(model, tx, statics, loss_cfg, flags, jit=False)
 
-    # ---- train throughput ----
-    note("compiling train step")
-    state, loss_out = step(state, batches[0])  # compile
-    float(loss_out["loss"])  # host read = true sync (relay block_until_ready lies)
-    note("train step compiled; timing")
+    # ---- train throughput: N steps inside ONE lax.scan, so the timing is
+    # device-bound and immune to the ~90 ms host<->device relay latency of
+    # this environment; sync = a single dependent host read. ----
+    import jax.numpy as jnp
+
     n_steps = 12
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *batches)
+
+    @jax.jit
+    def run_steps(state, stacked):
+        def body(st, i):
+            batch = jax.tree_util.tree_map(
+                lambda x: jax.lax.dynamic_index_in_dim(x, i % 2, keepdims=False), stacked
+            )
+            st, out = raw_step(st, batch)
+            return st, out["loss"]
+        return jax.lax.scan(body, state, jnp.arange(n_steps))
+
+    note("compiling scanned train steps")
+    new_state, losses_dev = run_steps(state, stacked)
+    final_loss = float(losses_dev[-1])
+    note("train compiled; timing")
     t0 = time.perf_counter()
-    for i in range(n_steps):
-        state, loss_out = step(state, batches[i % 2])
-    final_loss = float(loss_out["loss"])  # depends on the full chain of steps
+    new_state, losses_dev = run_steps(state, stacked)
+    final_loss = float(losses_dev[-1])
     train_dt = time.perf_counter() - t0
+    state = new_state
     train_scenes_per_sec = BATCH * n_steps / train_dt
 
     # ---- inference throughput (eval forward) ----
-    note("compiling inference forward")
-    forward = make_forward_fn(model, statics)
-    outs = forward(state.params, state.batch_stats, batches[0])
-    float(outs["semantic_scores"].sum())
-    note("forward compiled; timing")
+    note("compiling scanned inference")
     n_inf = 12
-    acc = 0.0
+    from tpu3dwsis.nn.network import preprocess as _pre
+
+    @jax.jit
+    def run_forwards(params, batch_stats, stacked):
+        def body(acc, i):
+            batch = jax.tree_util.tree_map(
+                lambda x: jax.lax.dynamic_index_in_dim(x, i % 2, keepdims=False), stacked
+            )
+            pre = _pre(batch, statics, use_coords=model.cfg.use_coords)
+            outs = model.apply(
+                {"params": params, "batch_stats": batch_stats}, batch, pre, train=False
+            )
+            return acc + outs["semantic_scores"][0, 0], None
+        acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(n_inf))
+        return acc
+
+    acc = run_forwards(state.params, state.batch_stats, stacked)
+    float(acc)
+    note("inference compiled; timing")
     t0 = time.perf_counter()
-    for i in range(n_inf):
-        outs = forward(state.params, state.batch_stats, batches[i % 2])
-        # tiny dependent accumulator keeps dispatch async but the final host
-        # read below waits for every forward
-        acc = acc + outs["semantic_scores"][0, 0]
+    acc = run_forwards(state.params, state.batch_stats, stacked)
     float(acc)
     inf_dt = time.perf_counter() - t0
     total_points = sum(

@@ -154,6 +154,68 @@ void eig3_sym(const double m[6], double ev[3]) {
 
 extern "C" {
 
+// ------------------------------------------------------------ edge features
+// 13-d superpoint-graph edge features (reference compute_edges_feature,
+// prepare_data_inst_ScanNetV2.py:340-433): paired-sample delta mean/std,
+// centroid delta, and eigen shape-feature ratios. sp_start/sp_count index a
+// permutation of points sorted by superpoint id. Sampling uses a per-edge
+// xorshift stream seeded deterministically.
+void wsis_edge_features(const float* xyz, int n, const int32_t* order,
+                        const int32_t* sp_start, const int32_t* sp_count, int n_sp,
+                        const float* centroid /*[n_sp,3]*/,
+                        const float* shape /*[n_sp,3] length,surface,volume*/,
+                        const int32_t* eu, const int32_t* ev, int n_edges,
+                        int max_sample, uint64_t seed, float* out /*[n_edges,13]*/) {
+#pragma omp parallel for schedule(dynamic, 64)
+  for (int e = 0; e < n_edges; e++) {
+    int s = eu[e], t = ev[e];
+    uint64_t rng = seed ^ (0x9e3779b97f4a7c15ULL * (uint64_t)(e + 1));
+    auto next = [&rng]() {
+      rng ^= rng << 13;
+      rng ^= rng >> 7;
+      rng ^= rng << 17;
+      return rng;
+    };
+    int ns = sp_count[s], nt = sp_count[t];
+    int k = std::min(std::min(ns, nt), max_sample);
+    double mx = 0, my = 0, mz = 0, sx = 0, sy = 0, sz = 0;
+    for (int i = 0; i < k; i++) {
+      // sample without strict dedup (statistically equivalent at prep scale)
+      int pi = order[sp_start[s] + (ns > k ? (int)(next() % ns) : i)];
+      int qi = order[sp_start[t] + (nt > k ? (int)(next() % nt) : i)];
+      double dx = xyz[3 * pi] - xyz[3 * qi];
+      double dy = xyz[3 * pi + 1] - xyz[3 * qi + 1];
+      double dz = xyz[3 * pi + 2] - xyz[3 * qi + 2];
+      mx += dx;
+      my += dy;
+      mz += dz;
+      sx += dx * dx;
+      sy += dy * dy;
+      sz += dz * dz;
+    }
+    double inv = 1.0 / std::max(k, 1);
+    mx *= inv;
+    my *= inv;
+    mz *= inv;
+    float stdx = (float)std::sqrt(std::max(sx * inv - mx * mx, 0.0));
+    float stdy = (float)std::sqrt(std::max(sy * inv - my * my, 0.0));
+    float stdz = (float)std::sqrt(std::max(sz * inv - mz * mz, 0.0));
+    out[13 * e + 0] = (float)mx;
+    out[13 * e + 1] = (float)my;
+    out[13 * e + 2] = (float)mz;
+    out[13 * e + 3] = k > 1 ? stdx : 0.0f;
+    out[13 * e + 4] = k > 1 ? stdy : 0.0f;
+    out[13 * e + 5] = k > 1 ? stdz : 0.0f;
+    out[13 * e + 6] = centroid[3 * s] - centroid[3 * t];
+    out[13 * e + 7] = centroid[3 * s + 1] - centroid[3 * t + 1];
+    out[13 * e + 8] = centroid[3 * s + 2] - centroid[3 * t + 2];
+    out[13 * e + 9] = shape[3 * s] / (shape[3 * t] + 1e-6f);
+    out[13 * e + 10] = shape[3 * s + 1] / (shape[3 * t + 1] + 1e-6f);
+    out[13 * e + 11] = shape[3 * s + 2] / (shape[3 * t + 2] + 1e-6f);
+    out[13 * e + 12] = (float)sp_count[s] / ((float)sp_count[t] + 1e-6f);
+  }
+}
+
 // ---------------------------------------------------------------- knn graph
 // For each point, its k nearest neighbours. out_nbr is [n, k] int32 (padded
 // with -1). cell: grid cell size (pick ~ average spacing * 2).

@@ -72,6 +72,10 @@ def _declare(lib: ctypes.CDLL):
         ctypes.c_int, ctypes.c_float, ctypes.c_int, i32,
     ]
     lib.wsis_cut_pursuit_l0.restype = ctypes.c_int
+    lib.wsis_edge_features.argtypes = [
+        f32, ctypes.c_int, i32, i32, i32, ctypes.c_int, f32, f32,
+        i32, i32, ctypes.c_int, ctypes.c_int, ctypes.c_uint64, f32,
+    ]
 
 
 # ------------------------------------------------------------ public wrappers
@@ -137,6 +141,38 @@ def cut_pursuit_l0(
     out = np.empty(len(feat), np.int32)
     lib.wsis_cut_pursuit_l0(
         feat, len(feat), feat.shape[1], eu, ev, ew, len(eu), reg, max_iter, out
+    )
+    return out
+
+
+def edge_features(
+    xyz: np.ndarray,
+    superpoint: np.ndarray,
+    edges: np.ndarray,
+    centroid: np.ndarray,
+    shape_feats: np.ndarray,
+    max_sample: int = 128,
+    seed: int = 0,
+):
+    """Native 13-d edge features (unstandardized); returns ``[E, 13]`` or
+    ``None`` if the native library is unavailable."""
+    lib = get_lib()
+    if lib is None or len(edges) == 0:
+        return None
+    xyz = np.ascontiguousarray(xyz, np.float32)
+    n_sp = int(superpoint.max()) + 1
+    order = np.argsort(superpoint, kind="stable").astype(np.int32)
+    counts = np.bincount(superpoint, minlength=n_sp).astype(np.int32)
+    starts = np.zeros(n_sp, np.int32)
+    starts[1:] = np.cumsum(counts)[:-1]
+    eu = np.ascontiguousarray(edges[:, 0], np.int32)
+    ev = np.ascontiguousarray(edges[:, 1], np.int32)
+    out = np.empty((len(edges), 13), np.float32)
+    lib.wsis_edge_features(
+        xyz, len(xyz), order, starts, counts, n_sp,
+        np.ascontiguousarray(centroid, np.float32),
+        np.ascontiguousarray(shape_feats, np.float32),
+        eu, ev, len(edges), max_sample, seed, out,
     )
     return out
 

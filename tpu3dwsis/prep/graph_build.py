@@ -81,6 +81,23 @@ def compute_edge_features(
     ``max_sample`` points (statistically identical, bounded cost).
     """
     cent, length, surface, volume, count = superpoint_stats(xyz, superpoint)
+
+    # native fast path (OpenMP; tpu3dwsis/native wsis_edge_features)
+    from .. import native as _native
+
+    shape_feats = np.stack([length, surface, volume], axis=1)
+    native_out = _native.edge_features(
+        xyz, superpoint, np.asarray(edges, np.int64).reshape(-1, 2), cent, shape_feats,
+        max_sample=max_sample, seed=int(rng.integers(0, 2**31)),
+    )
+    if native_out is not None:
+        feats = native_out
+        if len(feats) == 0:
+            return feats
+        mu = feats.mean(0, keepdims=True)
+        sd = feats.std(0, keepdims=True)
+        return ((feats - mu) / np.maximum(sd, 1e-8)).astype(np.float32)
+
     order = np.argsort(superpoint, kind="stable")
     starts = np.searchsorted(superpoint[order], np.arange(len(cent)))
     ends = np.searchsorted(superpoint[order], np.arange(len(cent)) + 1)

@@ -29,6 +29,7 @@ def make_train_step(
     loss_cfg: LossConfig,
     flags: LossFlags,
     donate: bool = True,
+    jit: bool = True,
 ):
     """Build the jitted training step for one curriculum stage.
 
@@ -64,6 +65,8 @@ def make_train_step(
         )
         return new_state, loss_out
 
+    if not jit:
+        return step_fn
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 
