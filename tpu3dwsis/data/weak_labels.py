@@ -233,13 +233,21 @@ class WeakLabelStore:
         pseudo = labels[best, np.arange(s)]
         pseudo_score = scores[best, np.arange(s)]
 
-        # start from the base graph each round (:744)
+        self.apply_propagation(name, pseudo, pseudo_score)
+
+    def apply_propagation(self, name: str, seed_idx: np.ndarray, score: np.ndarray):
+        """Write pseudo labels from (seed index, score) per superpoint —
+        shared by the host path above and the on-device kernel
+        (:func:`tpu3dwsis.ops.propagation.propagate_labels_device`).
+        Starts from the base graph each round (``:744``)."""
+        st = self.states[name]
+        centers = self._centers[name]
         new_sem = st.base_sem.copy()
         new_ins = st.base_ins.copy()
         new_off = st.base_offset.copy()
-        assign = (pseudo_score != 0) & (base_sem == IGNORE)
+        assign = (score != 0) & (st.base_sem == IGNORE)
         for i in np.where(assign)[0]:
-            seed_sp = int(pseudo[i])
+            seed_sp = int(seed_idx[i])
             new_sem[i] = st.base_sem[seed_sp]
             new_ins[i] = st.base_ins[seed_sp]
             ins_center = centers[seed_sp] + st.base_offset[seed_sp]

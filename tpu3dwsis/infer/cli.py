@@ -43,18 +43,38 @@ def evaluate_dataset(
     dataset: SceneDataset,
     bfs_ratio: float = 0.25,
     with_instances: bool = True,
+    dataset_kind: str = "scannetv2",
 ):
-    """Run the full test protocol over a dataset; returns a metrics dict."""
+    """Run the full test protocol over a dataset; returns a metrics dict.
+
+    ``dataset_kind='s3dis'`` switches to the S3DIS protocol: BFS ratio 0.8,
+    ceiling/floor/wall post-processing, and the dual instance evaluation
+    (coverage metrics + ScanNet-style AP) of ``test_s3dis.py``.
+    """
     from .batched import batched_scene_outputs
+
+    is_s3dis = dataset_kind == "s3dis"
+    if is_s3dis:
+        from ..eval.classes import S3DIS_CLASS_NAMES, S3DIS_SEMANTIC_IDS
+        from ..eval.s3dis_cov import S3DISCoverageEvaluator
+        from .s3dis_post import cluster_scene_s3dis
+
+        cov_ev = S3DISCoverageEvaluator(num_classes=model.cfg.classes)
+        sem_ids = S3DIS_SEMANTIC_IDS
+        inst_ids = list(S3DIS_SEMANTIC_IDS)
+        inst_names = S3DIS_CLASS_NAMES
+        bfs_ratio = 0.8 if bfs_ratio == 0.25 else bfs_ratio
+    else:
+        sem_ids = SCANNET_SEMANTIC_IDS
+        inst_ids = list(SCANNET_INSTANCE_CLASS_IDS)
+        inst_names = SCANNET_INSTANCE_CLASS_NAMES
 
     forward = make_forward_fn(model, dataset.statics)
     classes = model.cfg.classes
     pt_ev = SemanticEvaluator([str(i) for i in range(classes)])
     mid_ev = SemanticEvaluator([str(i) for i in range(classes)])
     sp_ev = SemanticEvaluator([str(i) for i in range(classes)])
-    ap_ev = InstanceAPEvaluator(
-        list(SCANNET_INSTANCE_CLASS_IDS), SCANNET_INSTANCE_CLASS_NAMES
-    )
+    ap_ev = InstanceAPEvaluator(inst_ids, inst_names)
     rng = np.random.default_rng(567)  # reference test seed (config :15)
 
     done = 0
@@ -79,24 +99,37 @@ def evaluate_dataset(
         sp_ev.process(sp_head_pred[sp_of], scene.sem)
 
         if with_instances:
-            res = cluster_scene(
-                scene.xyz,
-                scene.superpoint,
-                scene.edges,
-                sp_head_pred,
-                outs["pred_sp_offset_vectors"][:s],
-                outs["pred_sp_occupancy"][:s],
-                outs["pred_sp_ins_size"][:s],
-                SCANNET_VALID_CLASS_MASK,
-                bfs_ratio=bfs_ratio,
-            )
+            if is_s3dis:
+                res = cluster_scene_s3dis(
+                    scene.xyz,
+                    scene.superpoint,
+                    scene.edges,
+                    sp_head_pred,
+                    outs["pred_sp_offset_vectors"][:s],
+                    outs["pred_sp_occupancy"][:s],
+                    outs["pred_sp_ins_size"][:s],
+                    bfs_ratio=bfs_ratio,
+                )
+                cov_ev.process(res.masks, res.class_indices, scene.sem, scene.ins)
+            else:
+                res = cluster_scene(
+                    scene.xyz,
+                    scene.superpoint,
+                    scene.edges,
+                    sp_head_pred,
+                    outs["pred_sp_offset_vectors"][:s],
+                    outs["pred_sp_occupancy"][:s],
+                    outs["pred_sp_ins_size"][:s],
+                    SCANNET_VALID_CLASS_MASK,
+                    bfs_ratio=bfs_ratio,
+                )
             gt_ids = encode_gt_instances(
-                SCANNET_SEMANTIC_IDS[np.clip(scene.sem, 0, classes - 1)], scene.ins
+                sem_ids[np.clip(scene.sem, 0, classes - 1)], scene.ins
             )
             ap_ev.process(
                 scene.name,
                 res.masks,
-                SCANNET_SEMANTIC_IDS[res.class_indices],
+                sem_ids[res.class_indices],
                 res.confidences,
                 gt_ids,
             )
@@ -113,6 +146,8 @@ def evaluate_dataset(
         metrics.update(
             {"mAP": ap["all_ap"], "mAP50": ap["all_ap_50"], "mAP25": ap["all_ap_25"]}
         )
+        if is_s3dis:
+            metrics.update(cov_ev.evaluate())
     return metrics
 
 
@@ -138,7 +173,9 @@ def main(argv=None):
     state, meta = load_checkpoint(args.checkpoint, trainer.state, None)
     log.info("loaded checkpoint %s (%s)", args.checkpoint, meta)
 
-    metrics = evaluate_dataset(model, state.params, state.batch_stats, dataset)
+    metrics = evaluate_dataset(
+        model, state.params, state.batch_stats, dataset, dataset_kind=cfg.data.dataset
+    )
     for k, v in metrics.items():
         log.info("%s: %.4f", k, v)
     print(metrics)

@@ -204,18 +204,57 @@ class Trainer:
             "edge_valid": np.asarray(batch.edge_valid),
         }
 
-    def propagation_pass(self, iteration_ind: int):
+    def propagation_pass(self, iteration_ind: int, on_device: bool = True):
         """Stage-2 affinity propagation over every training scene
-        (``propagation_label``, ``train_scannetv2.py:488-581``)."""
+        (``propagation_label``, ``train_scannetv2.py:488-581``).
+
+        ``on_device``: run the per-class powered transition matmuls as one
+        jitted kernel on the TPU (``ops/propagation.py``) — the matrices are
+        dense S×S MXU work; the host numpy path is the fallback/reference.
+        """
+        import jax.numpy as jnp
+
+        from ..data.scene import IGNORE
+        from ..ops.propagation import propagate_labels_device
+
         ds = self.train_dataset
         store = ds.weak_store
+        s_pad = None
         for idx, scene in enumerate(ds.scenes):
             o = self._scene_outputs(idx)
             s = scene.num_superpoints
-            aff = np.zeros((s, s))
             ev = o["edge_valid"]
-            aff[o["edge_u"][ev], o["edge_v"][ev]] = o["edge_affinity"][ev]
-            store.propagate(scene.name, o["sp_value"], o["sp_pred"], aff, iteration_ind)
+            if on_device:
+                if s_pad is None or s > s_pad:
+                    s_pad = max(1024, 1 << int(np.ceil(np.log2(max(s, 2)))))
+                aff = np.zeros((s_pad, s_pad), np.float32)
+                aff[o["edge_u"][ev], o["edge_v"][ev]] = o["edge_affinity"][ev]
+                adj = np.zeros((s_pad, s_pad), np.float32)
+                adj[scene.edges[:, 0], scene.edges[:, 1]] = 1.0
+                st = store.states[scene.name]
+
+                def pad(a, fill, dtype):
+                    out = np.full(s_pad, fill, dtype)
+                    out[:s] = a[:s]
+                    return out
+
+                seed_idx, score = propagate_labels_device(
+                    jnp.asarray(aff),
+                    jnp.asarray(adj),
+                    jnp.asarray(pad(st.base_sem, IGNORE, np.int32)),
+                    jnp.asarray(pad(o["sp_pred"].astype(np.int32), 0, np.int32)),
+                    jnp.asarray(pad(o["sp_value"].astype(np.float32), 0.0, np.float32)),
+                    jnp.asarray(np.arange(s_pad) < s),
+                    num_classes=self.model.cfg.classes,
+                    iterations=iteration_ind,
+                )
+                store.apply_propagation(
+                    scene.name, np.asarray(seed_idx)[:s], np.asarray(score)[:s]
+                )
+            else:
+                aff = np.zeros((s, s))
+                aff[o["edge_u"][ev], o["edge_v"][ev]] = o["edge_affinity"][ev]
+                store.propagate(scene.name, o["sp_value"], o["sp_pred"], aff, iteration_ind)
         store.derive_point_labels()
         log.info("propagation %d done: %s", iteration_ind, store.label_stats())
 
