@@ -109,3 +109,23 @@ def test_cluster_scene_recovers_instances_from_oracle_heads():
             continue
         vals, counts = np.unique(gt_in_mask, return_counts=True)
         assert counts.max() / counts.sum() > 0.7
+
+
+def test_propagate_current_to_neighbor_extends_one_ring():
+    scene, store = _store()
+    st = store.states[scene.name]
+    before = int((st.cur_sem != IGNORE).sum())
+    sp_pred = scene.sp_sem_gt.copy()
+    store.propagate_current_to_neighbor(scene.name, sp_pred)
+    after = int((st.cur_sem != IGNORE).sum())
+    assert after > before
+    # newly labeled superpoints carry their seed's class and are graph
+    # neighbors of a previously labeled superpoint of the same class
+    newly = np.where((st.cur_sem != IGNORE) & (st.base_sem == IGNORE))[0]
+    nbr_of = {}
+    for u, v in scene.edges:
+        nbr_of.setdefault(int(u), set()).add(int(v))
+        nbr_of.setdefault(int(v), set()).add(int(u))
+    labeled0 = set(np.where(st.base_sem != IGNORE)[0])
+    for sp in newly[:20]:
+        assert nbr_of.get(int(sp), set()) & labeled0

@@ -98,6 +98,7 @@ def collate(
     full_scale_hi: int = 512,
     crop_mode: str = "shift",  # "shift" (ScanNet crop) | "block" (S3DIS crop_v2)
     subsample: bool = False,  # S3DIS random 1/4 subsample during training
+    with_elastic: bool = False,  # PointGroup elastic distortion (config-off default)
 ) -> Dict[str, np.ndarray]:
     """Build the flat padded arrays of a :class:`SceneBatch` (as numpy).
 
@@ -157,6 +158,12 @@ def collate(
         sp_offset = lab.sp_offset @ m
 
         xyz = xyz_middle * scale
+        if training and with_elastic:
+            from .augment import elastic
+
+            # reference granularity/magnitude pairs (PointGroup defaults)
+            xyz = elastic(xyz, 6 * scale // 50, 40 * scale / 50, rng)
+            xyz = elastic(xyz, 20 * scale // 50, 160 * scale / 50, rng)
         xyz = xyz - xyz.min(0)
 
         if training:

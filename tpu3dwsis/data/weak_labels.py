@@ -284,6 +284,38 @@ class WeakLabelStore:
                     new_off[nb] = ins_center - centers[nb]
         st.cur_sem, st.cur_ins, st.cur_offset = new_sem, new_ins, new_off
 
+    def propagate_current_to_neighbor(
+        self, name: str, sp_semantic_pred: np.ndarray
+    ):
+        """``propagate_label_to_neighbor`` (``:825-871``): like
+        :meth:`extend_to_neighbor` but reads/extends the *current* pseudo
+        graph (no confidence threshold), so labels creep outward one ring per
+        call."""
+        scene = self.scenes[name]
+        st = self.states[name]
+        centers = self._centers[name]
+        new_sem = st.cur_sem.copy()
+        new_ins = st.cur_ins.copy()
+        new_off = st.cur_offset.copy()
+        nbrs: Dict[int, set] = {}
+        for u, v in scene.edges:
+            nbrs.setdefault(int(u), set()).add(int(v))
+            nbrs.setdefault(int(v), set()).add(int(u))
+        labeled = (st.cur_sem != IGNORE) & (st.cur_ins != IGNORE)
+        for sp_id in np.where(labeled)[0]:
+            for nb in nbrs.get(int(sp_id), ()):
+                if (
+                    sp_semantic_pred[nb] == st.cur_sem[sp_id]
+                    and st.cur_sem[nb] == IGNORE
+                    and st.cur_ins[nb] == IGNORE
+                    and new_sem[nb] == IGNORE
+                ):
+                    new_sem[nb] = st.cur_sem[sp_id]
+                    new_ins[nb] = st.cur_ins[sp_id]
+                    ins_center = centers[sp_id] + st.cur_offset[sp_id]
+                    new_off[nb] = ins_center - centers[nb]
+        st.cur_sem, st.cur_ins, st.cur_offset = new_sem, new_ins, new_off
+
     def propagate_to_whole_scene(
         self,
         name: str,

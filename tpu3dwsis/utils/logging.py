@@ -17,7 +17,32 @@ import time
 from collections import deque
 from typing import Dict, Optional
 
-__all__ = ["collect_logger", "HistoryBuffer", "Timer", "MetricsWriter", "convert_seconds"]
+__all__ = [
+    "collect_logger",
+    "HistoryBuffer",
+    "Timer",
+    "MetricsWriter",
+    "convert_seconds",
+    "format_table",
+    "create_small_table",
+]
+
+
+def format_table(rows, headers) -> str:
+    """Plain-text table (parity surface for the reference's tabulate wrappers,
+    ``utils/logging.py:301-340``)."""
+    rows = [[f"{c:.4f}" if isinstance(c, float) else str(c) for c in r] for r in rows]
+    widths = [max(len(h), *(len(r[i]) for r in rows)) if rows else len(h) for i, h in enumerate(headers)]
+    line = "  ".join(h.ljust(w) for h, w in zip(headers, widths))
+    sep = "  ".join("-" * w for w in widths)
+    body = "\n".join("  ".join(c.ljust(w) for c, w in zip(r, widths)) for r in rows)
+    return "\n".join([line, sep, body] if rows else [line, sep])
+
+
+def create_small_table(d) -> str:
+    """Two-row key/value table (``create_small_table``)."""
+    keys = list(d.keys())
+    return format_table([[d[k] for k in keys]], keys)
 
 
 def collect_logger(log_root: str = "log", prefix: str = "run", level=logging.INFO):
