@@ -71,13 +71,23 @@ def test_subm_down_inverse_vs_dense_oracle():
     want_coarse = {(b, x // 2, y // 2, z // 2) for b, x, y, z in vc}
     assert want_coarse == {tuple(r) for r in cc}
 
-    # ---- inverse conv coarse->fine ----
+    # ---- inverse conv coarse->fine (gather formulation) ----
     cfeat_np = np.zeros((m_pad, cout), np.float32)
     cfeat_np[:mc] = rng.standard_normal((mc, cout)).astype(np.float32)
     wi = rng.standard_normal((8, cout, cin)).astype(np.float32) * 0.2
     got_i = np.asarray(
-        sparse_conv.inverse_conv(jnp.asarray(cfeat_np), down_nbr, jnp.asarray(wi), m_pad)
+        sparse_conv.inverse_conv(
+            jnp.asarray(cfeat_np),
+            plan.levels[0].parent,
+            plan.levels[0].child_offset,
+            jnp.asarray(wi),
+        )
     )
+    # scatter (reference) formulation must agree
+    got_sc = np.asarray(
+        sparse_conv.inverse_conv_scatter(jnp.asarray(cfeat_np), down_nbr, jnp.asarray(wi), m_pad)
+    )
+    np.testing.assert_allclose(got_i, got_sc, rtol=1e-4, atol=1e-5)
     coarse_index = {tuple(r): i for i, r in enumerate(cc)}
     for i, (b, x, y, z) in enumerate(vc):
         p = coarse_index[(b, x // 2, y // 2, z // 2)]

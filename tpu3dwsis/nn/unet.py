@@ -62,12 +62,11 @@ class InverseConv(nn.Module):
     """k=2 inverse conv coarse→fine (restores pre-downsample sites)."""
 
     features: int
-    m_out: int
 
     @nn.compact
-    def __call__(self, x, down_nbr):
+    def __call__(self, x, parent, child_offset):
         w = self.param("kernel", _conv_init(8, x.shape[-1]), (8, x.shape[-1], self.features))
-        return sparse_conv.inverse_conv(x, down_nbr, w.astype(x.dtype), self.m_out)
+        return sparse_conv.inverse_conv(x, parent, child_offset, w.astype(x.dtype))
 
 
 def _axis_zero_rows(axis: int):
@@ -190,7 +189,7 @@ class UBlock(nn.Module):
             # up: BN→ReLU→SparseInverseConv3d sharing the down table
             h = MaskedBatchNorm(self.nPlanes[1], name="up_bn")(h, nxt_mask, train)
             h = nn.relu(h)
-            h = InverseConv(planes, m_out=x.shape[0], name="up_conv")(h, lp.down_nbr)
+            h = InverseConv(planes, name="up_conv")(h, lp.parent, lp.child_offset)
             x = jnp.concatenate([identity, h], axis=-1)
             for i in range(self.block_reps):
                 x = Block(planes, name=f"tail{i}")(x, lp.subm_nbr, mask, train)

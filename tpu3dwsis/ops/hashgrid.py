@@ -89,7 +89,12 @@ def lookup(sorted_keys: jax.Array, query_keys: jax.Array) -> Tuple[jax.Array, ja
     is an exact hit.  Queries equal to PAD_KEY always miss.
     """
     m = sorted_keys.shape[0]
-    pos = jnp.searchsorted(sorted_keys, query_keys, side="left").astype(jnp.int32)
+    # method='sort' lowers to one co-sort instead of a 17-round binary-search
+    # gather loop — far faster on TPU for these sizes (the rulebook build
+    # issues 27×M queries per U-Net level).
+    pos = jnp.searchsorted(sorted_keys, query_keys, side="left", method="sort").astype(
+        jnp.int32
+    )
     pos = jnp.minimum(pos, m - 1)
     found = (sorted_keys[pos] == query_keys) & (query_keys != PAD_KEY)
     return pos, found

@@ -63,11 +63,18 @@ class VoxelLevel(NamedTuple):
 
 class LevelPlan(NamedTuple):
     """Everything one U-Net level needs: its voxels, the shared submanifold
-    neighbor table, and (if not the deepest level) the k2s2 down link."""
+    neighbor table, and (if not the deepest level) the k2s2 down link.
+
+    ``parent``/``child_offset`` are the inverse view of ``down_nbr``: for each
+    fine row, its coarse row (``M_coarse`` = miss) and which of the 8 k2s2
+    kernel offsets it occupies — the inverse conv is then a pure gather
+    (``sparse_conv.inverse_conv``) instead of a scatter."""
 
     level: VoxelLevel
     subm_nbr: jax.Array  # [27, M] int32 input row per (offset, output row); M = miss
     down_nbr: jax.Array | None  # [8, M_coarse] fine row per (offset, coarse row)
+    parent: jax.Array | None  # [M_fine] coarse row of each fine voxel
+    child_offset: jax.Array | None  # [M_fine] k2s2 offset index (0..7)
 
 
 class UNetPlan(NamedTuple):
@@ -140,7 +147,13 @@ def build_downsample(
         return _query_table(fine, q, cvalid, spatial_shape, max_batch)
 
     down_nbr = jax.vmap(per_offset)(offsets)
-    return coarse, down_nbr
+
+    # inverse view: each fine voxel's coarse parent row + its k2s2 offset id
+    ppos, pfound = hashgrid.lookup(coarse.keys, ckeys)
+    parent = jnp.where(pfound & fine.valid, ppos, max_voxels_out).astype(jnp.int32)
+    rel = fine.coords[:, 1:] % 2
+    child_offset = (rel[:, 0] * 2 + rel[:, 1]) * 2 + rel[:, 2]
+    return coarse, down_nbr, parent, child_offset.astype(jnp.int32)
 
 
 def build_unet_plan(
@@ -166,10 +179,20 @@ def build_unet_plan(
     for i in range(num_levels):
         subm = build_subm_table(level, shape, max_batch)
         if i + 1 < num_levels:
-            coarse, down_nbr = build_downsample(level, shape, max_batch, level_sizes[i + 1])
+            coarse, down_nbr, parent, child_offset = build_downsample(
+                level, shape, max_batch, level_sizes[i + 1]
+            )
         else:
-            coarse, down_nbr = None, None
-        plans.append(LevelPlan(level=level, subm_nbr=subm, down_nbr=down_nbr))
+            coarse, down_nbr, parent, child_offset = None, None, None, None
+        plans.append(
+            LevelPlan(
+                level=level,
+                subm_nbr=subm,
+                down_nbr=down_nbr,
+                parent=parent,
+                child_offset=child_offset,
+            )
+        )
         if coarse is not None:
             level = coarse
             shape = tuple((s + 1) // 2 for s in shape)

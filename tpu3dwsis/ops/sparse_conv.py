@@ -99,7 +99,32 @@ def down_conv(feats, down_nbr, weights):
     return gather_conv(feats, down_nbr, weights)
 
 
-def inverse_conv(feats, down_nbr, weights, m_out: int):
+def inverse_conv(feats, parent, child_offset, weights, accum_dtype=jnp.float32):
     """k=2 inverse conv coarse→fine restoring the pre-downsample active set
-    (spconv ``SparseInverseConv3d`` sharing the down conv's indice_key)."""
+    (spconv ``SparseInverseConv3d`` sharing the down conv's indice_key).
+
+    Gather formulation: every fine site has exactly one (parent, offset)
+    pair, so ``out[i] = feats[parent[i]] @ weights[child_offset[i]]``.
+    Computed as 8 coarse-side matmuls then ONE row gather from the stacked
+    results — gathers are ~8× cheaper than the scatter-adds of the
+    transposed formulation on TPU (see ``scatter_conv``, kept as the
+    reference path).
+
+    feats: ``[M_coarse, Cin]``; parent: ``[M_fine]`` int32 with ``M_coarse``
+    = miss; child_offset: ``[M_fine]`` int32 in [0, K). Returns
+    ``[M_fine, Cout]``.
+    """
+    m_c = feats.shape[0]
+    k = weights.shape[0]
+    y = jnp.einsum(
+        "mc,kcd->kmd", feats, weights, preferred_element_type=accum_dtype
+    ).astype(feats.dtype)
+    flat = y.reshape(k * m_c, -1)
+    flat = jnp.concatenate([flat, jnp.zeros((1, flat.shape[1]), flat.dtype)], axis=0)
+    idx = jnp.where(parent >= m_c, k * m_c, child_offset * m_c + parent)
+    return flat[idx]
+
+
+def inverse_conv_scatter(feats, down_nbr, weights, m_out: int):
+    """Transposed-scatter formulation of the inverse conv (oracle path)."""
     return scatter_conv(feats, down_nbr, weights, m_out)
