@@ -55,7 +55,11 @@ def test_subm_down_inverse_vs_dense_oracle():
     # ---- downsample k2 s2 ----
     wd = rng.standard_normal((8, cin, cout)).astype(np.float32) * 0.2
     down_nbr = plan.levels[0].down_nbr
-    got_d = np.asarray(sparse_conv.down_conv(feats, down_nbr, jnp.asarray(wd)))
+    got_d = np.asarray(
+        sparse_conv.down_conv(
+            feats, down_nbr, plan.levels[0].parent, plan.levels[0].child_offset, jnp.asarray(wd)
+        )
+    )
     coarse = plan.levels[1].level
     mc = int(np.asarray(coarse.valid).sum())
     cc = np.asarray(coarse.coords)[:mc]
@@ -80,6 +84,7 @@ def test_subm_down_inverse_vs_dense_oracle():
             jnp.asarray(cfeat_np),
             plan.levels[0].parent,
             plan.levels[0].child_offset,
+            down_nbr,
             jnp.asarray(wi),
         )
     )
@@ -96,3 +101,57 @@ def test_subm_down_inverse_vs_dense_oracle():
         np.testing.assert_allclose(got_i[i], want, rtol=1e-4, atol=1e-4)
     # padding rows untouched
     np.testing.assert_array_equal(got_i[m:], 0.0)
+
+
+def test_custom_vjp_matches_autodiff():
+    """The gather-only backward (offset-flip symmetry) must equal plain
+    autodiff of the gather formulation."""
+    import jax
+
+    rng = np.random.default_rng(5)
+    shape, batch, cin, cout = (8, 8, 8), 1, 4, 6
+    coords = _random_scene(rng, 50, shape, batch)
+    m_pad = 64
+    vox = voxelize.voxelize_coords(jnp.asarray(coords), shape, batch, m_pad)
+    level0 = rulebook.VoxelLevel(keys=vox.keys, coords=vox.coords, valid=vox.valid)
+    plan = rulebook.build_unet_plan(level0, shape, batch, 2, [m_pad, m_pad])
+    lp = plan.levels[0]
+
+    feats = jnp.asarray(rng.standard_normal((m_pad, cin)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((27, cin, cin)).astype(np.float32) * 0.2)
+    cot = jnp.asarray(rng.standard_normal((m_pad, cin)).astype(np.float32))
+
+    # ---- subm ----
+    f_custom = lambda x, w: (sparse_conv.subm_conv(x, lp.subm_nbr, w) * cot).sum()
+    f_auto = lambda x, w: (sparse_conv.gather_conv(x, lp.subm_nbr, w) * cot).sum()
+    gx_c, gw_c = jax.grad(f_custom, argnums=(0, 1))(feats, w)
+    gx_a, gw_a = jax.grad(f_auto, argnums=(0, 1))(feats, w)
+    np.testing.assert_allclose(np.asarray(gx_c), np.asarray(gx_a), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gw_c), np.asarray(gw_a), rtol=1e-4, atol=1e-5)
+
+    # ---- down ----
+    wd = jnp.asarray(rng.standard_normal((8, cin, cout)).astype(np.float32) * 0.2)
+    cot_d = jnp.asarray(rng.standard_normal((m_pad, cout)).astype(np.float32))
+    f_custom = lambda x, w: (
+        sparse_conv.down_conv(x, lp.down_nbr, lp.parent, lp.child_offset, w) * cot_d
+    ).sum()
+    f_auto = lambda x, w: (sparse_conv.gather_conv(x, lp.down_nbr, w) * cot_d).sum()
+    gx_c, gw_c = jax.grad(f_custom, argnums=(0, 1))(feats, wd)
+    gx_a, gw_a = jax.grad(f_auto, argnums=(0, 1))(feats, wd)
+    np.testing.assert_allclose(np.asarray(gx_c), np.asarray(gx_a), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gw_c), np.asarray(gw_a), rtol=1e-4, atol=1e-5)
+
+    # ---- inverse ----
+    cfeat = jnp.asarray(rng.standard_normal((m_pad, cout)).astype(np.float32))
+    wi = jnp.asarray(rng.standard_normal((8, cout, cin)).astype(np.float32) * 0.2)
+    cot_i = jnp.asarray(rng.standard_normal((m_pad, cin)).astype(np.float32))
+    f_custom = lambda x, w: (
+        sparse_conv.inverse_conv(x, lp.parent, lp.child_offset, lp.down_nbr, w) * cot_i
+    ).sum()
+    f_auto = lambda x, w: (
+        sparse_conv.inverse_conv_raw(x, lp.parent, lp.child_offset, w) * cot_i
+    ).sum()
+    gx_c, gw_c = jax.grad(f_custom, argnums=(0, 1))(cfeat, wi)
+    gx_a, gw_a = jax.grad(f_auto, argnums=(0, 1))(cfeat, wi)
+    np.testing.assert_allclose(np.asarray(gx_c), np.asarray(gx_a), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gw_c), np.asarray(gw_a), rtol=1e-4, atol=1e-5)

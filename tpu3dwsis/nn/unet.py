@@ -48,25 +48,27 @@ class SubMConv(nn.Module):
 
 
 class DownConv(nn.Module):
-    """k=2 s=2 strided conv fine→coarse, weights ``[8, Cin, Cout]``."""
+    """k=2 s=2 strided conv fine→coarse, weights ``[8, Cin, Cout]``.
+    The inverse tables (parent/child_offset) feed the gather-only backward."""
 
     features: int
 
     @nn.compact
-    def __call__(self, x, down_nbr):
+    def __call__(self, x, down_nbr, parent, child_offset):
         w = self.param("kernel", _conv_init(8, x.shape[-1]), (8, x.shape[-1], self.features))
-        return sparse_conv.down_conv(x, down_nbr, w.astype(x.dtype))
+        return sparse_conv.down_conv(x, down_nbr, parent, child_offset, w.astype(x.dtype))
 
 
 class InverseConv(nn.Module):
-    """k=2 inverse conv coarse→fine (restores pre-downsample sites)."""
+    """k=2 inverse conv coarse→fine (restores pre-downsample sites).
+    ``down_nbr`` feeds the gather-only backward."""
 
     features: int
 
     @nn.compact
-    def __call__(self, x, parent, child_offset):
+    def __call__(self, x, parent, child_offset, down_nbr):
         w = self.param("kernel", _conv_init(8, x.shape[-1]), (8, x.shape[-1], self.features))
-        return sparse_conv.inverse_conv(x, parent, child_offset, w.astype(x.dtype))
+        return sparse_conv.inverse_conv(x, parent, child_offset, down_nbr, w.astype(x.dtype))
 
 
 def _axis_zero_rows(axis: int):
@@ -181,7 +183,9 @@ class UBlock(nn.Module):
             # down: BN→ReLU→SparseConv3d(k2,s2)
             h = MaskedBatchNorm(planes, name="down_bn")(x, mask, train)
             h = nn.relu(h)
-            h = DownConv(self.nPlanes[1], name="down_conv")(h, lp.down_nbr)
+            h = DownConv(self.nPlanes[1], name="down_conv")(
+                h, lp.down_nbr, lp.parent, lp.child_offset
+            )
             h = UBlock(
                 self.nPlanes[1:], self.block_reps, self.depth + 1, self.remat,
                 self.block, name="u"
@@ -189,7 +193,9 @@ class UBlock(nn.Module):
             # up: BN→ReLU→SparseInverseConv3d sharing the down table
             h = MaskedBatchNorm(self.nPlanes[1], name="up_bn")(h, nxt_mask, train)
             h = nn.relu(h)
-            h = InverseConv(planes, name="up_conv")(h, lp.parent, lp.child_offset)
+            h = InverseConv(planes, name="up_conv")(
+                h, lp.parent, lp.child_offset, lp.down_nbr
+            )
             x = jnp.concatenate([identity, h], axis=-1)
             for i in range(self.block_reps):
                 x = Block(planes, name=f"tail{i}")(x, lp.subm_nbr, mask, train)

@@ -109,12 +109,15 @@ def build_subm_table(
     the voxel at ``coords[m] + offsets[k]`` or ``M`` if inactive.
     """
     offsets = jnp.asarray(subm_offsets(kernel_size))  # [K, 3]
-
-    def per_offset(off):
-        q = level.coords.at[:, 1:].add(off[None, :])
-        return _query_table(level, q, level.valid, spatial_shape, max_batch)
-
-    return jax.vmap(per_offset)(offsets)
+    k = offsets.shape[0]
+    m = level.coords.shape[0]
+    # one flattened [K*M] lookup: searchsorted(method='sort') co-sorts the
+    # queries, so a single big call beats K separate ones
+    q = jnp.broadcast_to(level.coords[None], (k, m, 4))
+    q = q.at[:, :, 1:].add(offsets[:, None, :])
+    q = q.reshape(k * m, 4)
+    valid = jnp.broadcast_to(level.valid[None, :], (k, m)).reshape(-1)
+    return _query_table(level, q, valid, spatial_shape, max_batch).reshape(k, m)
 
 
 def build_downsample(
@@ -141,12 +144,13 @@ def build_downsample(
     coarse = VoxelLevel(keys=uniq, coords=ccoords, valid=cvalid)
 
     offsets = jnp.asarray(down_offsets())
-
-    def per_offset(off):
-        q = ccoords.at[:, 1:].set(ccoords[:, 1:] * 2 + off[None, :])
-        return _query_table(fine, q, cvalid, spatial_shape, max_batch)
-
-    down_nbr = jax.vmap(per_offset)(offsets)
+    k = offsets.shape[0]
+    m = ccoords.shape[0]
+    q = jnp.broadcast_to(ccoords[None], (k, m, 4))
+    q = q.at[:, :, 1:].set(ccoords[None, :, 1:] * 2 + offsets[:, None, :])
+    q = q.reshape(k * m, 4)
+    valid = jnp.broadcast_to(cvalid[None, :], (k, m)).reshape(-1)
+    down_nbr = _query_table(fine, q, valid, spatial_shape, max_batch).reshape(k, m)
 
     # inverse view: each fine voxel's coarse parent row + its k2s2 offset id
     ppos, pfound = hashgrid.lookup(coarse.keys, ckeys)

@@ -23,10 +23,20 @@ the autodiff-complete default.
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
-__all__ = ["gather_conv", "scatter_conv", "subm_conv", "down_conv", "inverse_conv"]
+__all__ = [
+    "gather_conv",
+    "scatter_conv",
+    "subm_conv",
+    "down_conv",
+    "inverse_conv",
+    "inverse_conv_raw",
+    "inverse_conv_scatter",
+]
 
 
 def _with_null_row(feats: jax.Array) -> jax.Array:
@@ -87,19 +97,76 @@ def scatter_conv(
     return acc[:m_out].astype(feats.dtype)
 
 
-# Thin, intention-revealing aliases used by the U-Net -------------------------
+def _weight_grad(feats, nbr, g, accum_dtype=jnp.float32):
+    """dW[k] = gather(x, nbr[k])^T @ g — recompute-the-gather formulation."""
+    x = _with_null_row(feats)
 
+    def step(_, nbr_k):
+        gk = x[nbr_k]  # [M_out, Cin]
+        dw = jnp.einsum("mc,md->cd", gk, g, preferred_element_type=accum_dtype)
+        return None, dw
+
+    _, dws = jax.lax.scan(step, None, nbr)
+    return dws  # [K, Cin, Cout]
+
+
+# Custom VJPs: every backward is a GATHER, never a scatter ---------------------
+#
+# Submanifold symmetry: voxel m's neighbor at offset +d is j  ⟺  j's neighbor
+# at offset -d is m, and for the row-major offset enumeration -d sits at the
+# flipped index K-1-k.  Likewise the k2s2 down conv's transpose is exactly the
+# inverse conv's (parent, child_offset) gather and vice versa.  Scatter-adds
+# measured ~8x slower than gathers on TPU, so this buys most of the backward.
+
+
+@jax.custom_vjp
 def subm_conv(feats, subm_nbr, weights):
-    """Submanifold 3³ conv at one level (spconv ``SubMConv3d`` semantics)."""
+    """Submanifold conv at one level (spconv ``SubMConv3d`` semantics)."""
     return gather_conv(feats, subm_nbr, weights)
 
 
-def down_conv(feats, down_nbr, weights):
-    """k=2 s=2 strided conv fine→coarse (spconv ``SparseConv3d`` semantics)."""
+def _subm_fwd(feats, subm_nbr, weights):
+    return gather_conv(feats, subm_nbr, weights), (feats, subm_nbr, weights)
+
+
+def _subm_bwd(res, g):
+    feats, nbr, w = res
+    g = g.astype(feats.dtype)
+    # dL/dx = sum_k gather(g, nbr[K-1-k]) @ W[k]^T
+    w_back = jnp.flip(w, axis=0).transpose(0, 2, 1)
+    dx = gather_conv(g, nbr, w_back)
+    dw = _weight_grad(feats, nbr, g).astype(w.dtype)
+    return dx, None, dw
+
+
+subm_conv.defvjp(_subm_fwd, _subm_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def down_conv(feats, down_nbr, parent, child_offset, weights):
+    """k=2 s=2 strided conv fine→coarse (spconv ``SparseConv3d`` semantics).
+    ``parent``/``child_offset`` (the inverse tables) drive the gather-only
+    backward."""
     return gather_conv(feats, down_nbr, weights)
 
 
-def inverse_conv(feats, parent, child_offset, weights, accum_dtype=jnp.float32):
+def _down_fwd(feats, down_nbr, parent, child_offset, weights):
+    return gather_conv(feats, down_nbr, weights), (feats, down_nbr, parent, child_offset, weights)
+
+
+def _down_bwd(res, g):
+    feats, down_nbr, parent, child_offset, w = res
+    g = g.astype(feats.dtype)
+    # each fine voxel feeds exactly one (k, coarse) pair -> inverse-conv gather
+    dx = inverse_conv_raw(g, parent, child_offset, w.transpose(0, 2, 1))
+    dw = _weight_grad(feats, down_nbr, g).astype(w.dtype)
+    return dx, None, None, None, dw
+
+
+down_conv.defvjp(_down_fwd, _down_bwd)
+
+
+def inverse_conv_raw(feats, parent, child_offset, weights, accum_dtype=jnp.float32):
     """k=2 inverse conv coarse→fine restoring the pre-downsample active set
     (spconv ``SparseInverseConv3d`` sharing the down conv's indice_key).
 
@@ -123,6 +190,38 @@ def inverse_conv(feats, parent, child_offset, weights, accum_dtype=jnp.float32):
     flat = jnp.concatenate([flat, jnp.zeros((1, flat.shape[1]), flat.dtype)], axis=0)
     idx = jnp.where(parent >= m_c, k * m_c, child_offset * m_c + parent)
     return flat[idx]
+
+
+@jax.custom_vjp
+def inverse_conv(feats, parent, child_offset, down_nbr, weights):
+    """Differentiable inverse conv; ``down_nbr`` drives the gather-only
+    backward (the transpose of this op IS the down conv)."""
+    return inverse_conv_raw(feats, parent, child_offset, weights)
+
+
+def _inv_fwd(feats, parent, child_offset, down_nbr, weights):
+    return inverse_conv_raw(feats, parent, child_offset, weights), (
+        feats, parent, child_offset, down_nbr, weights,
+    )
+
+
+def _inv_bwd(res, g):
+    feats, parent, child_offset, down_nbr, w = res
+    g = g.astype(feats.dtype)
+    dx = gather_conv(g, down_nbr, w.transpose(0, 2, 1))
+    # dW[k] = x^T @ gather(g, down_nbr[k])
+    g_null = _with_null_row(g)
+
+    def step(_, nbr_k):
+        gk = g_null[nbr_k]  # [M_coarse, Cout]
+        dw = jnp.einsum("mc,md->cd", feats, gk, preferred_element_type=jnp.float32)
+        return None, dw
+
+    _, dws = jax.lax.scan(step, None, down_nbr)
+    return dx, None, None, None, dws.astype(w.dtype)
+
+
+inverse_conv.defvjp(_inv_fwd, _inv_bwd)
 
 
 def inverse_conv_scatter(feats, down_nbr, weights, m_out: int):
