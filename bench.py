@@ -84,8 +84,12 @@ def main():
         max_instances=32,
     )
     unet_dtype = os.environ.get("BENCH_UNET_DTYPE", "bfloat16")
+    remat = os.environ.get("BENCH_REMAT", "0") == "1"
     model = WSISNet(
-        NetConfig(classes=20, media=32, blocks=5, unet_dtype=unet_dtype, remat=True)
+        NetConfig(
+            classes=20, media=32, blocks=5,
+            unet_dtype=unet_dtype, ecc_edge_dtype=unet_dtype, remat=remat,
+        )
     )
 
     def labels_for(sc):

@@ -119,24 +119,30 @@ class EccGraphNetwork(nn.Module):
     iterations: int = 7
     out_dim: int = 64
     fnet_widths: Sequence[int] = (32, 128, 64)
+    # edge-weight matrices are the ECC's bandwidth hog ([E, nfeat²] read every
+    # iteration); bfloat16 halves that traffic. GRU math stays fp32.
+    edge_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, edge_u, edge_v, edge_feats, edge_valid, sp_valid, train: bool):
         s = x.shape[0]
         c = self.nfeat
+        edt = jnp.dtype(self.edge_dtype)
         weights = FilterNet(self.fnet_widths, c * c, name="fnet")(
             edge_feats, edge_valid, train
         )
-        weights = weights.reshape(-1, c, c)
+        weights = weights.reshape(-1, c, c).astype(edt)
 
         cell = GRUCellEx(c, name="gru")
         h = x
         hs = [h]
         for _ in range(self.iterations):
             hn = jnp.concatenate([h, jnp.zeros((1, c), h.dtype)], axis=0)
-            src = hn[edge_v]  # messages flow v -> u (NNConv flow target_to_source)
-            msg = jnp.einsum("ec,ecd->ed", src, weights)
-            agg = segment_mean(msg, edge_u, s + 1)[:s]
+            src = hn[edge_v].astype(edt)  # messages flow v -> u (target_to_source)
+            msg = jnp.einsum(
+                "ec,ecd->ed", src, weights, preferred_element_type=jnp.float32
+            )
+            agg = segment_mean(msg, edge_u, s + 1)[:s].astype(h.dtype)
             h = cell(agg, h)
             hs.append(h)
         cat = jnp.concatenate(hs, axis=1)  # [S, (iters+1)*nfeat]

@@ -41,6 +41,7 @@ class NetConfig(NamedTuple):
     # traffic; accumulations stay fp32 (preferred_element_type) and BN
     # statistics are always fp32. Heads/ECC run fp32 (cheap, small).
     unet_dtype: str = "float32"
+    ecc_edge_dtype: str = "float32"  # edge-weight matrix compute dtype
     remat: bool = False  # jax.checkpoint each residual block (memory for FLOPs)
 
 
@@ -136,7 +137,11 @@ class WSISNet(nn.Module):
 
         # ---- ECC graph net ----
         ecc_out = EccGraphNetwork(
-            cfg.media, cfg.ecc_iterations, cfg.sp_feat_dim, name="ecc"
+            cfg.media,
+            cfg.ecc_iterations,
+            cfg.sp_feat_dim,
+            edge_dtype=cfg.ecc_edge_dtype,
+            name="ecc",
         )(
             embeddings,
             batch.edge_u,

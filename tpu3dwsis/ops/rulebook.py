@@ -108,16 +108,31 @@ def build_subm_table(
     spconv's ``SubMConv3d``); offset k's entry for output row m is the row of
     the voxel at ``coords[m] + offsets[k]`` or ``M`` if inactive.
     """
-    offsets = jnp.asarray(subm_offsets(kernel_size))  # [K, 3]
-    k = offsets.shape[0]
+    offsets_np = subm_offsets(kernel_size)  # [K, 3]
+    k = offsets_np.shape[0]
     m = level.coords.shape[0]
-    # one flattened [K*M] lookup: searchsorted(method='sort') co-sorts the
-    # queries, so a single big call beats K separate ones
-    q = jnp.broadcast_to(level.coords[None], (k, m, 4))
+    assert k % 2 == 1, "symmetric kernels only"
+    half = k // 2  # offsets[half] == (0,0,0); offsets[K-1-i] == -offsets[i]
+
+    # Query only the negative half — the positive half is the INVERSE
+    # matching (m's neighbor at +d is j  ⟺  j's at -d is m), recovered by an
+    # int32 scatter, which is far cheaper than doubling the co-sort size.
+    offsets = jnp.asarray(offsets_np[:half])
+    q = jnp.broadcast_to(level.coords[None], (half, m, 4))
     q = q.at[:, :, 1:].add(offsets[:, None, :])
-    q = q.reshape(k * m, 4)
-    valid = jnp.broadcast_to(level.valid[None, :], (k, m)).reshape(-1)
-    return _query_table(level, q, valid, spatial_shape, max_batch).reshape(k, m)
+    q = q.reshape(half * m, 4)
+    valid = jnp.broadcast_to(level.valid[None, :], (half, m)).reshape(-1)
+    neg = _query_table(level, q, valid, spatial_shape, max_batch).reshape(half, m)
+
+    rows = jnp.arange(m, dtype=jnp.int32)
+
+    def invert(nbr_k):
+        inv = jnp.full((m + 1,), m, jnp.int32).at[nbr_k].set(rows, mode="drop")
+        return inv[:m]
+
+    pos = jax.vmap(invert)(neg)[::-1]  # offsets[K-1-i] table = invert(offsets[i])
+    center = jnp.where(level.valid, rows, m)[None, :]
+    return jnp.concatenate([neg, center, pos], axis=0)
 
 
 def build_downsample(
@@ -143,21 +158,26 @@ def build_downsample(
     ccoords = hashgrid.unpack_coords(jnp.where(cvalid, uniq, 0), coarse_shape, max_batch)
     coarse = VoxelLevel(keys=uniq, coords=ccoords, valid=cvalid)
 
-    offsets = jnp.asarray(down_offsets())
-    k = offsets.shape[0]
-    m = ccoords.shape[0]
-    q = jnp.broadcast_to(ccoords[None], (k, m, 4))
-    q = q.at[:, :, 1:].set(ccoords[None, :, 1:] * 2 + offsets[:, None, :])
-    q = q.reshape(k * m, 4)
-    valid = jnp.broadcast_to(cvalid[None, :], (k, m)).reshape(-1)
-    down_nbr = _query_table(fine, q, valid, spatial_shape, max_batch).reshape(k, m)
-
-    # inverse view: each fine voxel's coarse parent row + its k2s2 offset id
+    # each fine voxel's coarse parent row + its k2s2 offset id (one lookup)
     ppos, pfound = hashgrid.lookup(coarse.keys, ckeys)
     parent = jnp.where(pfound & fine.valid, ppos, max_voxels_out).astype(jnp.int32)
     rel = fine.coords[:, 1:] % 2
-    child_offset = (rel[:, 0] * 2 + rel[:, 1]) * 2 + rel[:, 2]
-    return coarse, down_nbr, parent, child_offset.astype(jnp.int32)
+    child_offset = ((rel[:, 0] * 2 + rel[:, 1]) * 2 + rel[:, 2]).astype(jnp.int32)
+
+    # down_nbr is the inverse matching: fine row i sits at
+    # (offset=child_offset[i], coarse=parent[i]) — one int32 scatter instead
+    # of an 8-offset co-sort lookup.
+    m_fine = fine.coords.shape[0]
+    flat_idx = jnp.where(
+        parent >= max_voxels_out, 8 * max_voxels_out, child_offset * max_voxels_out + parent
+    )
+    down_flat = (
+        jnp.full((8 * max_voxels_out + 1,), m_fine, jnp.int32)
+        .at[flat_idx]
+        .set(jnp.arange(m_fine, dtype=jnp.int32), mode="drop")
+    )
+    down_nbr = down_flat[: 8 * max_voxels_out].reshape(8, max_voxels_out)
+    return coarse, down_nbr, parent, child_offset
 
 
 def build_unet_plan(
