@@ -19,8 +19,8 @@ import numpy as np
 
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
 
-BATCH = 4
-NUM_SCENES = 8
+BATCH = int(os.environ.get("BENCH_BATCH", "4"))
+NUM_SCENES = max(2 * BATCH, 8)
 POINTS_PER_SCENE = 25000
 BASELINE_TRAIN_SCENES_PER_SEC = 1201 * 1 / (7.5 * 60) * 1.0  # 2.67
 
@@ -72,15 +72,16 @@ def main():
     scenes = get_scenes()
     # capacities ~1.3x the measured per-batch sizes of the cached scenes
     # (100k pts / 98k voxels / 3.1k superpoints / 24k edges per 4-scene batch)
+    cap = 32768 * BATCH  # ~1.3x measured per-scene sizes (25k pts -> ~25k voxels)
     statics = BatchStatics(
         spatial_shape=(512, 512, 512),
         max_batch=BATCH,
-        max_voxels=131072,
+        max_voxels=cap,
         num_levels=5,
-        level_sizes=(131072, 65536, 32768, 16384, 8192),
-        max_points=131072,
-        max_superpoints=4096,
-        max_edges=32768,
+        level_sizes=(cap, cap // 2, cap // 4, cap // 8, cap // 16),
+        max_points=cap,
+        max_superpoints=1024 * BATCH,
+        max_edges=8192 * BATCH,
         max_instances=32,
     )
     unet_dtype = os.environ.get("BENCH_UNET_DTYPE", "bfloat16")
