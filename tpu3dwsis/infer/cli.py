@@ -166,15 +166,26 @@ def main(argv=None):
     model, statics, train_ds, val_ds, _ = build_world(cfg)
     dataset = val_ds if args.split == "val" and val_ds is not None else train_ds
 
-    from ..train.curriculum import CurriculumConfig, Trainer  # init shapes via a trainer
+    # initialize shapes directly (no optimizer needed for inference)
+    import jax
 
-    trainer = Trainer(model, statics, train_ds, CurriculumConfig(log_dir=cfg.log_dir))
-    trainer.init_state()
-    state, meta = load_checkpoint(args.checkpoint, trainer.state, None)
+    from ..data.collate import to_scene_batch as _tsb
+    from ..nn.network import preprocess
+
+    rng = np.random.default_rng(0)
+    arrays = dataset.collate_batch([0], rng, training=False)
+    b0 = _tsb(arrays)
+    pre = preprocess(b0, statics, use_coords=model.cfg.use_coords)
+    variables = model.init(jax.random.PRNGKey(0), b0, pre, train=False)
+
+    from ..train.checkpoint import load_checkpoint as _load
+
+    payload, meta = _load(args.checkpoint)
+    params, batch_stats = payload.params, payload.batch_stats
     log.info("loaded checkpoint %s (%s)", args.checkpoint, meta)
 
     metrics = evaluate_dataset(
-        model, state.params, state.batch_stats, dataset, dataset_kind=cfg.data.dataset
+        model, params, batch_stats, dataset, dataset_kind=cfg.data.dataset
     )
     for k, v in metrics.items():
         log.info("%s: %.4f", k, v)

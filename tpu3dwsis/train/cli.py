@@ -132,8 +132,7 @@ def main(argv=None):
 
     cfg = Config.fromfile(args.config)
     Config.merge_from_options(cfg, args.opts)
-    logger, log_dir = collect_logger(prefix=os.path.basename(cfg.log_dir))
-    cfg.log_dir = log_dir
+    logger, log_dir = collect_logger(log_dir=str(cfg.log_dir))
 
     model, statics, train_ds, val_ds, tcfg = build_world(cfg, logger)
     trainer = Trainer(model, statics, train_ds, tcfg, val_dataset=val_ds)

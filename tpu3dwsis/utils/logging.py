@@ -45,11 +45,19 @@ def create_small_table(d) -> str:
     return format_table([[d[k] for k in keys]], keys)
 
 
-def collect_logger(log_root: str = "log", prefix: str = "run", level=logging.INFO):
-    """Create ``log/<prefix>/<timestamp>.log`` + console logger; returns
-    ``(logger, log_dir)``."""
+def collect_logger(
+    log_root: str = "log", prefix: str = "run", level=logging.INFO, log_dir: str | None = None
+):
+    """Create a timestamped ``.log`` file + console logger; returns
+    ``(logger, log_dir)``.
+
+    ``log_dir`` (when given) is used as-is and STABLE across runs — the log
+    *file* is timestamped inside it, so checkpoints saved next to it remain
+    findable by ``--resume`` (the reference keeps a stable ``cfg.log_dir``
+    too, ``train_scannetv2.py:673-693``)."""
     stamp = time.strftime("%Y%m%d_%H%M%S")
-    log_dir = os.path.join(log_root, prefix, stamp)
+    if log_dir is None:
+        log_dir = os.path.join(log_root, prefix)
     os.makedirs(log_dir, exist_ok=True)
     logger = logging.getLogger(f"tpu3dwsis.{prefix}")
     logger.setLevel(level)
