@@ -33,7 +33,7 @@ def test_pallas_subm_conv_matches_xla():
 
     want = np.asarray(sparse_conv.gather_conv(jnp.asarray(feats), nbr, jnp.asarray(w)))
 
-    span = int(max_window_span(pos, tile=128))
+    span = int(max_window_span(pos, tile=128, channels=cin))
     window = int(max(256, 1 << int(np.ceil(np.log2(span)))))
     feats_null = np.concatenate([feats, np.zeros((1, cin), np.float32)])
     got = np.asarray(

@@ -15,8 +15,12 @@ caller checks the worst-case span (``max_window_span``) and falls back to
 the XLA path when it exceeds W — spans are ~T plus slack except across
 scene boundaries in a batch, which the default W absorbs.
 
-Forward-only for now (the backward runs the XLA gather path via
-``jax.custom_vjp``); used when ``use_pallas=True`` on ``SubMConv``.
+Status (round 1): compiles and matches the XLA path bit-for-bit on real
+TPU hardware, but the one-hot local gather makes it MXU-bound — measured
+13.4 ms vs 8.1 ms for the XLA gather path per level-0 conv (M=131k, C=32,
+window 2048). Kept as the experimental foundation for round 2 (smaller
+multi-pass windows or Mosaic dynamic-gather would remove the one-hot
+matmuls); NOT wired into the model by default.
 """
 from __future__ import annotations
 
@@ -62,44 +66,58 @@ def build_pos_tables(level, spatial_shape, max_batch, kernel_size=3):
     return pos, found
 
 
-def max_window_span(pos: jax.Array, tile: int) -> jax.Array:
-    """Worst-case input-row span of any (offset, tile) pair."""
+def max_window_span(pos: jax.Array, tile: int, channels: int = 32) -> jax.Array:
+    """Worst-case input-row span of any (offset, tile) pair, including the
+    window-start alignment slack (16 packed rows = ``16 * 128/channels``
+    original rows)."""
     k, m = pos.shape
     nt = m // tile
     p = pos[:, : nt * tile].reshape(k, nt, tile)
-    return jnp.max(p[:, :, -1] - p[:, :, 0]) + 1
+    slack = 16 * (128 // channels)
+    return jnp.max(p[:, :, -1] - p[:, :, 0]) + 1 + slack
 
 
-def _kernel(lo_ref, pos_ref, ok_ref, x_hbm, w_ref, out_ref, acc_ref, win_ref, sem):
+def _kernel(c, lo_ref, pos_ref, ok_ref, xp_hbm, w_ref, out_ref, acc_ref, win_ref, sem):
+    """``xp_hbm`` holds features packed ``[Mp/p, p*C=128]`` (p rows per
+    lane-group) so window DMAs are fully 128-lane aligned; the packed one-hot
+    matmul yields a [T, 128] row-group which is resolved to the right C-lane
+    sub-slice with p static selects."""
     t = pl.program_id(0)
     k_total = w_ref.shape[0]
     tile = pos_ref.shape[1]
-    w_win = win_ref.shape[0]
+    wp = win_ref.shape[0]  # packed window rows
+    p = 128 // c
 
     acc_ref[:] = jnp.zeros_like(acc_ref)
 
     def body(k, _):
         lo = lo_ref[k, t]
+        lo_p = pl.multiple_of(lo // p, 16)  # packed window start, 16-aligned
         dma = pltpu.make_async_copy(
-            x_hbm.at[pl.ds(lo, w_win), :],
+            xp_hbm.at[pl.ds(lo_p, wp), :],
             win_ref,
             sem,
         )
         dma.start()
         dma.wait()
         local = pos_ref[k, :] - lo  # [T]
-        ok = (ok_ref[k, :] > 0) & (local >= 0) & (local < w_win)
-        safe = jnp.where(ok, local, 0)
-        # one-hot gather on the MXU: [T, W] @ [W, C]
+        ok = (ok_ref[k, :] > 0) & (local >= 0) & (local < wp * p)
+        sel_packed = jnp.where(ok, local // p, -1)  # -1 never matches the iota
+        sub = jnp.where(ok, local % p, -1)
         onehot = (
-            jax.lax.broadcasted_iota(jnp.int32, (tile, w_win), 1) == safe[:, None]
-        ) & ok[:, None]
-        g = jax.lax.dot_general(
+            jax.lax.broadcasted_iota(jnp.int32, (tile, wp), 1)
+            == jnp.broadcast_to(sel_packed.reshape(tile, 1), (tile, wp))
+        )
+        g128 = jax.lax.dot_general(
             onehot.astype(win_ref.dtype),
             win_ref[:],
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
+        )  # [T, 128]
+        g = jnp.zeros((tile, c), jnp.float32)
+        for j in range(p):
+            pick = (sub == j).astype(jnp.float32)
+            g = g + jnp.broadcast_to(pick.reshape(tile, 1), (tile, c)) * g128[:, j * c : (j + 1) * c]
         acc_ref[:] += jax.lax.dot_general(
             g.astype(w_ref.dtype),
             w_ref[k],
@@ -125,12 +143,24 @@ def subm_conv_pallas(
     k, m = pos.shape
     c, d = weights.shape[1], weights.shape[2]
     assert m % tile == 0, (m, tile)
+    assert 128 % c == 0, f"pallas path needs C | 128, got {c} (use the XLA path)"
+    p = 128 // c
     nt = m // tile
 
-    # per-(offset, tile) window starts, clipped so the window stays in-bounds
-    lo = pos[:, :: tile]  # [K, nt]
-    lo = jnp.minimum(lo, feats.shape[0] - window).astype(jnp.int32)
-    lo = jnp.maximum(lo, 0)
+    # pack p consecutive rows per 128-lane group; pad rows to a multiple of p
+    mp = ((feats.shape[0] + p - 1) // p) * p
+    xp = jnp.zeros((mp, c), feats.dtype).at[: feats.shape[0]].set(feats)
+    xp = xp.reshape(mp // p, p * c)
+
+    # per-(offset, tile) window starts: aligned so the PACKED start (lo/p) is
+    # a multiple of the 16-sublane tile, and clipped to keep the window
+    # in-bounds
+    q = 16 * p
+    assert window % q == 0, (window, q)
+    lo = pos[:, ::tile]  # [K, nt]
+    lo = (lo // q) * q
+    hi = ((mp - window) // q) * q
+    lo = jnp.clip(lo, 0, max(hi, 0)).astype(jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # lo
@@ -138,21 +168,20 @@ def subm_conv_pallas(
         in_specs=[
             pl.BlockSpec((k, tile), lambda t, lo_ref: (0, t), memory_space=pltpu.VMEM),
             pl.BlockSpec((k, tile), lambda t, lo_ref: (0, t), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),  # feats stay in HBM
+            pl.BlockSpec(memory_space=pltpu.HBM),  # packed feats stay in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),  # weights fully resident
         ],
         out_specs=pl.BlockSpec((tile, d), lambda t, lo_ref: (t, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((tile, d), jnp.float32),
-            pltpu.VMEM((window, c), feats.dtype),
+            pltpu.VMEM((window // p, p * c), feats.dtype),
             pltpu.SemaphoreType.DMA,
         ],
     )
-    # pos windows must account for the clipped lo: recompute local inside the
-    # kernel from the SAME lo we prefetch, so clipping stays consistent.
+    kernel = functools.partial(_kernel, c)
     return pl.pallas_call(
-        _kernel,
+        kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((m, d), feats.dtype),
         interpret=interpret,
-    )(lo, pos, found.astype(jnp.int32), feats, weights)
+    )(lo, pos, found.astype(jnp.int32), xp, weights)
