@@ -18,9 +18,11 @@ scene boundaries in a batch, which the default W absorbs.
 Status (round 1): compiles and matches the XLA path bit-for-bit on real
 TPU hardware, but the one-hot local gather makes it MXU-bound — measured
 13.4 ms vs 8.1 ms for the XLA gather path per level-0 conv (M=131k, C=32,
-window 2048). Kept as the experimental foundation for round 2 (smaller
-multi-pass windows or Mosaic dynamic-gather would remove the one-hot
-matmuls); NOT wired into the model by default.
+window 2048). A "dynamic" mode lowering to ``tpu.dynamic_gather`` exists
+and validates in interpret mode, but this Mosaic version only supports
+gather offsets within the first (8,128) tile ("Input offsets outside of the
+first tile"), so it cannot index a 512-row window yet. Kept as the
+experimental foundation for round 2; NOT wired into the model by default.
 """
 from __future__ import annotations
 
@@ -77,7 +79,7 @@ def max_window_span(pos: jax.Array, tile: int, channels: int = 32) -> jax.Array:
     return jnp.max(p[:, :, -1] - p[:, :, 0]) + 1 + slack
 
 
-def _kernel(c, lo_ref, pos_ref, ok_ref, xp_hbm, w_ref, out_ref, acc_ref, win_ref, sem):
+def _kernel(c, gather_mode, lo_ref, pos_ref, ok_ref, xp_hbm, w_ref, out_ref, acc_ref, win_ref, sem):
     """``xp_hbm`` holds features packed ``[Mp/p, p*C=128]`` (p rows per
     lane-group) so window DMAs are fully 128-lane aligned; the packed one-hot
     matmul yields a [T, 128] row-group which is resolved to the right C-lane
@@ -102,18 +104,35 @@ def _kernel(c, lo_ref, pos_ref, ok_ref, xp_hbm, w_ref, out_ref, acc_ref, win_ref
         dma.wait()
         local = pos_ref[k, :] - lo  # [T]
         ok = (ok_ref[k, :] > 0) & (local >= 0) & (local < wp * p)
-        sel_packed = jnp.where(ok, local // p, -1)  # -1 never matches the iota
         sub = jnp.where(ok, local % p, -1)
-        onehot = (
-            jax.lax.broadcasted_iota(jnp.int32, (tile, wp), 1)
-            == jnp.broadcast_to(sel_packed.reshape(tile, 1), (tile, wp))
-        )
-        g128 = jax.lax.dot_general(
-            onehot.astype(win_ref.dtype),
-            win_ref[:],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [T, 128]
+        if gather_mode == "dynamic":
+            # Mosaic tpu.dynamic_gather via take_along_axis: per-lane row
+            # gather on the VPU — indices must match the operand shape, so
+            # pad the T selectors up to the window's row count.
+            sel_packed = jnp.where(ok, local // p, 0)
+            sel_pad = jnp.concatenate(
+                [sel_packed, jnp.zeros((wp - tile,), jnp.int32)]
+            )
+            idx = jnp.broadcast_to(sel_pad.reshape(wp, 1), (wp, p * c))
+            g_all = jnp.take_along_axis(
+                win_ref[:], idx, axis=0, mode="promise_in_bounds"
+            )
+            g128 = g_all[:tile].astype(jnp.float32)
+            # zero out missing rows (sel was clamped to 0 for them)
+            okf = jnp.where(ok, 1.0, 0.0)
+            g128 = g128 * jnp.broadcast_to(okf.reshape(tile, 1), (tile, p * c))
+        else:
+            sel_packed = jnp.where(ok, local // p, -1)  # -1 never matches
+            onehot = (
+                jax.lax.broadcasted_iota(jnp.int32, (tile, wp), 1)
+                == jnp.broadcast_to(sel_packed.reshape(tile, 1), (tile, wp))
+            )
+            g128 = jax.lax.dot_general(
+                onehot.astype(win_ref.dtype),
+                win_ref[:],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [T, 128]
         g = jnp.zeros((tile, c), jnp.float32)
         for j in range(p):
             pick = (sub == j).astype(jnp.float32)
@@ -130,7 +149,9 @@ def _kernel(c, lo_ref, pos_ref, ok_ref, xp_hbm, w_ref, out_ref, acc_ref, win_ref
     out_ref[:] = acc_ref[:].astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("tile", "window", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("tile", "window", "interpret", "gather_mode")
+)
 def subm_conv_pallas(
     feats: jax.Array,  # [M+1, C] (null row appended by caller)
     pos: jax.Array,  # [K, M] int32 monotone
@@ -139,6 +160,7 @@ def subm_conv_pallas(
     tile: int = 256,
     window: int = 1024,
     interpret: bool = False,
+    gather_mode: str = "onehot",  # "onehot" (MXU) | "dynamic" (VPU; see note)
 ) -> jax.Array:
     k, m = pos.shape
     c, d = weights.shape[1], weights.shape[2]
@@ -178,7 +200,8 @@ def subm_conv_pallas(
             pltpu.SemaphoreType.DMA,
         ],
     )
-    kernel = functools.partial(_kernel, c)
+    assert window // p >= tile, "dynamic gather needs window/p >= tile"
+    kernel = functools.partial(_kernel, c, gather_mode)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
