@@ -282,19 +282,27 @@ class Trainer:
 
         if self.val_dataset is None:
             return {}
-        pt_ev = SemanticEvaluator([str(i) for i in range(self.model.cfg.classes)])
-        sp_ev = SemanticEvaluator([str(i) for i in range(self.model.cfg.classes)])
+        classes = self.model.cfg.classes
+        pt_ev = SemanticEvaluator([str(i) for i in range(classes)])
+        mid_ev = SemanticEvaluator([str(i) for i in range(classes)])
+        sp_ev = SemanticEvaluator([str(i) for i in range(classes)])
         for idx, scene in enumerate(self.val_dataset.scenes):
             arrays = self.val_dataset.collate_batch([idx], self.rng, training=False)
             batch = to_scene_batch(arrays)
             outs = self.forward(self.state.params, self.state.batch_stats, batch)
-            n = scene.num_points
+            n, s = scene.num_points, scene.num_superpoints
             pt_pred = np.asarray(outs["semantic_scores"].argmax(-1))[:n]
             pt_ev.process(pt_pred, scene.sem)
-            sp_pred = np.asarray(outs["sp_semantic_scores"].argmax(-1))[: scene.num_superpoints]
+            # "middle": per-superpoint mode of point predictions broadcast
+            # back (reference do_validation's 3-level protocol)
+            counts = np.zeros((s, classes), np.int64)
+            np.add.at(counts, (scene.superpoint, pt_pred), 1)
+            mid_ev.process(counts.argmax(1)[scene.superpoint], scene.sem)
+            sp_pred = np.asarray(outs["sp_semantic_scores"].argmax(-1))[:s]
             sp_ev.process(sp_pred[scene.superpoint], scene.sem)
         res = {
             "point_miou": pt_ev.evaluate()["miou"],
+            "middle_miou": mid_ev.evaluate()["miou"],
             "sp_miou": sp_ev.evaluate()["miou"],
         }
         log.info("validation: %s", res)
