@@ -59,7 +59,9 @@ def collect_logger(
     if log_dir is None:
         log_dir = os.path.join(log_root, prefix)
     os.makedirs(log_dir, exist_ok=True)
-    logger = logging.getLogger(f"tpu3dwsis.{prefix}")
+    # handlers live on the package-root logger so every tpu3dwsis.* module
+    # logger (train, infer, ...) propagates into the same file/console
+    logger = logging.getLogger("tpu3dwsis")
     logger.setLevel(level)
     logger.handlers.clear()
     fmt = logging.Formatter("%(asctime)s %(levelname)s %(message)s")
