@@ -26,7 +26,7 @@ reference loses pseudo-labels on resume — SURVEY §5.4); see
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

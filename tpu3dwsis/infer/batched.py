@@ -8,7 +8,7 @@ boundaries come from the collate offset metadata.
 """
 from __future__ import annotations
 
-from typing import Dict, Iterator, List, Sequence, Tuple
+from typing import Dict, Iterator, Tuple
 
 import numpy as np
 

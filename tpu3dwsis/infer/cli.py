@@ -10,8 +10,6 @@ from __future__ import annotations
 import argparse
 import logging
 import os
-from typing import Optional
-
 import numpy as np
 
 from ..data.collate import to_scene_batch
@@ -26,7 +24,7 @@ from ..eval.instance_ap import InstanceAPEvaluator, encode_gt_instances
 from ..eval.semantic import SemanticEvaluator
 from ..nn.network import WSISNet
 from ..train.checkpoint import load_checkpoint
-from ..train.cli import build_world, statics_from_cfg
+from ..train.cli import build_world
 from ..train.step import make_forward_fn
 from ..utils.config import Config
 from .clustering import cluster_scene

@@ -24,7 +24,7 @@ from __future__ import annotations
 import collections
 from dataclasses import dataclass
 from math import sqrt
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 import numpy as np
 

@@ -27,7 +27,6 @@ experimental foundation for round 2; NOT wired into the model by default.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,7 @@ are reported, not silently dropped.
 """
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 

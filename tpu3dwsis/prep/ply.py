@@ -6,7 +6,7 @@ Replaces the reference's ``plyfile`` dependency for reading ScanNet
 """
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import numpy as np
 

@@ -19,12 +19,12 @@ from __future__ import annotations
 
 import glob
 import os
-from typing import List, Optional
+from typing import Optional
 
 import numpy as np
 
 from .. import native
-from ..data.scene import IGNORE, Scene, save_scene
+from ..data.scene import Scene, save_scene
 from .graph_build import build_superpoint_graph
 
 __all__ = ["S3DIS_CLASSES", "prepare_room", "compute_superpoints"]

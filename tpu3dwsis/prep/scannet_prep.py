@@ -11,7 +11,6 @@ with mesh-face adjacency (``build_weak_label_graph``, ``:172-285``).
 """
 from __future__ import annotations
 
-import glob
 import json
 import os
 from typing import Optional
@@ -72,20 +71,18 @@ def prepare_scene(
         inst_id = 0
         for group in agg["segGroups"]:
             mask = np.isin(segs, group["segments"])
-            # wall/floor and unmapped classes carry no instances (:135-143)
-            mode_sem = np.bincount(sem[mask][sem[mask] >= 0].clip(0), minlength=20)
             if mask.sum() == 0:
                 continue
             sem_vals = sem[mask]
             sem_vals = sem_vals[sem_vals != IGNORE]
             if len(sem_vals) == 0:
                 continue
+            # wall/floor and unmapped classes carry no instances (:135-143)
             dominant = np.bincount(sem_vals, minlength=20).argmax()
             if dominant in (0, 1):  # wall/floor
                 continue
             ins[mask] = inst_id
             inst_id += 1
-            del mode_sem
 
     edges, edge_feats, sp_sem, sp_ins, sp_offset = build_superpoint_graph(
         xyz, superpoint, sem if with_labels else None, ins if with_labels else None,

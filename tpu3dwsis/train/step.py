@@ -7,7 +7,6 @@ CPU collate, CUDA extensions and the torch autograd loop —
 """
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, Tuple
 
 import jax

@@ -12,7 +12,7 @@ from __future__ import annotations
 import ast
 import copy
 import os
-from typing import Any, Dict, List, Mapping, Sequence
+from typing import Any, Dict, Mapping, Sequence
 
 import yaml
 

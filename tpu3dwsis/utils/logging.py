@@ -15,7 +15,7 @@ import os
 import sys
 import time
 from collections import deque
-from typing import Dict, Optional
+from typing import Dict
 
 __all__ = [
     "collect_logger",
