@@ -1,0 +1,72 @@
+"""Shape-bucket policy: derive padded capacities from dataset statistics.
+
+SURVEY §7.3 hard part #2: every axis (points, voxels, superpoints, edges)
+must be statically padded for jit, but the reference's scenes vary by 20×
+(N ∈ [~50k, 1M]).  ``fit_statics`` measures the dataset and picks
+capacities that cover the worst batch with a safety margin, rounded to
+hardware-friendly multiples; collate raises on overflow, so the margin is
+the contract.
+
+Voxel counts are bounded by point counts (dedup only shrinks), and each
+k2s2 level at most halves the active count in the worst case for surface
+data; we measure level-0 voxels exactly and use a conservative /2 ladder.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+
+from ..data.scene import Scene
+from .containers import BatchStatics
+
+__all__ = ["fit_statics"]
+
+
+def _round_up(x: int, mult: int) -> int:
+    return int(-(-x // mult) * mult)
+
+
+def fit_statics(
+    scenes: Sequence[Scene],
+    batch_size: int,
+    scale: float = 50.0,
+    max_npoint: int = 250000,
+    spatial_extent: int = 512,
+    num_levels: int = 5,
+    margin: float = 1.3,
+    max_instances: int = 128,
+    sample: int = 64,
+) -> BatchStatics:
+    """Measure up to ``sample`` scenes and size a training bucket for
+    ``batch_size`` of the largest of them."""
+    scenes = list(scenes)[:sample]
+    pts, sps, edges, voxels = [], [], [], []
+    for sc in scenes:
+        n = min(sc.num_points, max_npoint)
+        pts.append(n)
+        sps.append(sc.num_superpoints)
+        edges.append(sc.num_edges)
+        c = np.floor(sc.xyz[:n] * scale).astype(np.int64)
+        c -= c.min(0)
+        key = (c[:, 0] * 2097152 + c[:, 1] * 2048 + c[:, 2]).astype(np.int64)
+        voxels.append(len(np.unique(key)))
+
+    def cap(per_scene, mult):
+        top = sorted(per_scene, reverse=True)[:batch_size]
+        total = sum(top) if len(top) >= batch_size else sum(top) * batch_size // max(len(top), 1)
+        return _round_up(int(total * margin), mult)
+
+    m0 = cap(voxels, 4096)
+    level_sizes = tuple(max(m0 >> i, 4096) for i in range(num_levels))
+    return BatchStatics(
+        spatial_shape=(spatial_extent, spatial_extent, spatial_extent),
+        max_batch=batch_size,
+        max_voxels=m0,
+        num_levels=num_levels,
+        level_sizes=level_sizes,
+        max_points=cap(pts, 4096),
+        max_superpoints=cap(sps, 512),
+        max_edges=cap(edges, 4096),
+        max_instances=max_instances,
+    )

@@ -47,7 +47,21 @@ def _load_scenes(cfg, split: str) -> List[Scene]:
     return load_split(os.path.join(root, split))
 
 
-def statics_from_cfg(cfg) -> BatchStatics:
+def statics_from_cfg(cfg, scenes=None) -> BatchStatics:
+    """Bucket capacities from config, or measured from the dataset when the
+    config says ``buckets: auto``."""
+    if cfg.get("buckets") in (None, "auto"):
+        from ..core.buckets import fit_statics
+
+        assert scenes, "buckets: auto needs scenes to measure"
+        return fit_statics(
+            scenes,
+            int(cfg.curriculum.batch_size),
+            scale=float(cfg.data.scale),
+            max_npoint=int(cfg.data.max_npoint),
+            spatial_extent=int(cfg.data.full_scale[1]),
+            num_levels=int(cfg.model.blocks),
+        )
     b = cfg.buckets
     return BatchStatics(
         spatial_shape=tuple(b.spatial_shape),
@@ -64,7 +78,8 @@ def statics_from_cfg(cfg) -> BatchStatics:
 
 def build_world(cfg, logger=None):
     """Construct (model, statics, train_dataset, val_dataset, trainer_cfg)."""
-    statics = statics_from_cfg(cfg)
+    train_scenes = _load_scenes(cfg, "train")
+    statics = statics_from_cfg(cfg, train_scenes)
     model = WSISNet(
         NetConfig(
             classes=int(cfg.model.classes),
@@ -75,7 +90,6 @@ def build_world(cfg, logger=None):
             block_reps=int(cfg.model.block_reps),
         )
     )
-    train_scenes = _load_scenes(cfg, "train")
     try:
         val_scenes = _load_scenes(cfg, "val")
     except Exception:
