@@ -32,7 +32,8 @@ def fit_statics(
     batch_size: int,
     scale: float = 50.0,
     max_npoint: int = 250000,
-    spatial_extent: int = 512,
+    spatial_extent="auto",  # int, or "auto" = per-axis extents from the data
+    aug_margin=(1.45, 1.45, 1.35),  # rotation is √2 in XY + jitter; (1,1,1) for eval
     num_levels: int = 5,
     margin: float = 1.3,
     max_instances: int = 128,
@@ -42,6 +43,7 @@ def fit_statics(
     ``batch_size`` of the largest of them."""
     scenes = list(scenes)[:sample]
     pts, sps, edges, voxels = [], [], [], []
+    ext = np.zeros(3, np.int64)
     for sc in scenes:
         n = min(sc.num_points, max_npoint)
         pts.append(n)
@@ -49,8 +51,25 @@ def fit_statics(
         edges.append(sc.num_edges)
         c = np.floor(sc.xyz[:n] * scale).astype(np.int64)
         c -= c.min(0)
+        ext = np.maximum(ext, c.max(0) + 1)
         key = (c[:, 0] * 2097152 + c[:, 1] * 2048 + c[:, 2]).astype(np.int64)
         voxels.append(len(np.unique(key)))
+
+    if spatial_extent == "auto":
+        # per-axis extents keep the packed int32 key space small enough for
+        # uncropped whole-scene evaluation; augmentation (random XY rotation,
+        # jitter) can stretch a scene past its measured extent, hence margins
+        spatial_shape = tuple(
+            int(_round_up(int(np.ceil(e * m)), 64)) for e, m in zip(ext, aug_margin)
+        )
+    else:
+        spatial_shape = (int(spatial_extent),) * 3
+    key_space = batch_size * int(np.prod(np.asarray(spatial_shape, np.int64)))
+    if key_space >= 2**31 - 1:
+        raise ValueError(
+            f"packed key space {batch_size}x{spatial_shape} overflows int32; "
+            "reduce batch_size or crop (max_npoint)"
+        )
 
     def cap(per_scene, mult):
         top = sorted(per_scene, reverse=True)[:batch_size]
@@ -60,7 +79,7 @@ def fit_statics(
     m0 = cap(voxels, 4096)
     level_sizes = tuple(max(m0 >> i, 4096) for i in range(num_levels))
     return BatchStatics(
-        spatial_shape=(spatial_extent, spatial_extent, spatial_extent),
+        spatial_shape=spatial_shape,
         max_batch=batch_size,
         max_voxels=m0,
         num_levels=num_levels,

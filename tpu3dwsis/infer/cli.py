@@ -164,6 +164,22 @@ def main(argv=None):
     model, statics, train_ds, val_ds, _ = build_world(cfg)
     dataset = val_ds if args.split == "val" and val_ds is not None else train_ds
 
+    # whole-scene inference runs uncropped: refit the bucket to the eval
+    # split (the training bucket assumes the max_npoint crop)
+    from ..core.buckets import fit_statics
+
+    eval_batch = int(cfg.get("eval_batch", 4))
+    statics = fit_statics(
+        dataset.scenes,
+        batch_size=min(eval_batch, len(dataset.scenes)),
+        scale=float(cfg.data.scale),
+        max_npoint=10**9,
+        spatial_extent="auto",
+        aug_margin=(1.0, 1.0, 1.0),  # no augmentation at eval
+        num_levels=int(cfg.model.blocks),
+    )
+    dataset.statics = statics
+
     # initialize shapes directly (no optimizer needed for inference)
     import jax
 
