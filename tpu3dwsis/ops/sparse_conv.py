@@ -132,11 +132,25 @@ def _subm_fwd(feats, subm_nbr, weights):
 def _subm_bwd(res, g):
     feats, nbr, w = res
     g = g.astype(feats.dtype)
-    # dL/dx = sum_k gather(g, nbr[K-1-k]) @ W[k]^T
-    w_back = jnp.flip(w, axis=0).transpose(0, 2, 1)
-    dx = gather_conv(g, nbr, w_back)
-    dw = _weight_grad(feats, nbr, g).astype(w.dtype)
-    return dx, None, dw
+    # Shared-gather backward: with g'_k = gather(g, nbr[k]),
+    #   dL/dx     = sum_k g'_k @ W[K-1-k]^T        (offset-flip symmetry)
+    #   dL/dW[K-1-k] = x^T @ g'_k                   (same bijective matching)
+    # so ONE gather per offset serves both gradients.
+    g_null = _with_null_row(g)
+    w_back = jnp.flip(w, axis=0).transpose(0, 2, 1)  # w_back[k] = W[K-1-k]^T
+    xf = feats.astype(jnp.float32)
+
+    def step(acc, kw):
+        nbr_k, wb_k = kw
+        gk = g_null[nbr_k]  # [M, Cout]
+        acc = acc + jnp.dot(gk, wb_k, preferred_element_type=jnp.float32)
+        dw_k = jnp.einsum("mc,md->cd", xf, gk, preferred_element_type=jnp.float32)
+        return acc, dw_k
+
+    acc0 = jnp.zeros((feats.shape[0], w.shape[1]), jnp.float32)
+    dx, dw_flipped = jax.lax.scan(step, acc0, (nbr, w_back))
+    dw = jnp.flip(dw_flipped, axis=0).astype(w.dtype)
+    return dx.astype(feats.dtype), None, dw
 
 
 subm_conv.defvjp(_subm_fwd, _subm_bwd)
