@@ -61,7 +61,6 @@ def main():
         if verbose:
             print(f"# bench: {msg}", file=sys.stderr, flush=True)
 
-    from tpu3dwsis.core.containers import BatchStatics
     from tpu3dwsis.data.collate import SceneLabels, collate, to_scene_batch
     from tpu3dwsis.nn.losses import LossConfig, LossFlags
     from tpu3dwsis.nn.network import NetConfig, WSISNet, preprocess
@@ -70,20 +69,12 @@ def main():
     from tpu3dwsis.train.step import make_forward_fn, make_train_step
 
     scenes = get_scenes()
-    # capacities ~1.3x the measured per-batch sizes of the cached scenes
-    # (100k pts / 98k voxels / 3.1k superpoints / 24k edges per 4-scene batch)
-    cap = 32768 * BATCH  # ~1.3x measured per-scene sizes (25k pts -> ~25k voxels)
-    statics = BatchStatics(
-        spatial_shape=(512, 512, 512),
-        max_batch=BATCH,
-        max_voxels=cap,
-        num_levels=5,
-        level_sizes=(cap, cap // 2, cap // 4, cap // 8, cap // 16),
-        max_points=cap,
-        max_superpoints=1024 * BATCH,
-        max_edges=8192 * BATCH,
-        max_instances=32,
-    )
+    # capacities measured from the scenes (incl. the real per-level
+    # downsample ladder — a naive /2 ladder silently drops voxels on dense
+    # scans); 1.3x margin, training aug margins on the spatial extents
+    from tpu3dwsis.core.buckets import fit_statics
+
+    statics = fit_statics(scenes, batch_size=BATCH, scale=50.0, num_levels=5, max_instances=32)
     unet_dtype = os.environ.get("BENCH_UNET_DTYPE", "bfloat16")
     remat = os.environ.get("BENCH_REMAT", "0") == "1"
     model = WSISNet(

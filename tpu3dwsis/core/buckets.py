@@ -42,7 +42,8 @@ def fit_statics(
     """Measure up to ``sample`` scenes and size a training bucket for
     ``batch_size`` of the largest of them."""
     scenes = list(scenes)[:sample]
-    pts, sps, edges, voxels = [], [], [], []
+    pts, sps, edges = [], [], []
+    level_voxels = [[] for _ in range(num_levels)]
     ext = np.zeros(3, np.int64)
     for sc in scenes:
         n = min(sc.num_points, max_npoint)
@@ -52,8 +53,13 @@ def fit_statics(
         c = np.floor(sc.xyz[:n] * scale).astype(np.int64)
         c -= c.min(0)
         ext = np.maximum(ext, c.max(0) + 1)
-        key = (c[:, 0] * 2097152 + c[:, 1] * 2048 + c[:, 2]).astype(np.int64)
-        voxels.append(len(np.unique(key)))
+        # measure the ACTUAL k2s2 downsample ladder: dense scans barely
+        # shrink at the first halving, so a /2 assumption silently
+        # overflows (= drops voxels) at intermediate levels
+        for lvl in range(num_levels):
+            key = (c[:, 0] * 2097152 + c[:, 1] * 2048 + c[:, 2]).astype(np.int64)
+            level_voxels[lvl].append(len(np.unique(key)))
+            c = c // 2
 
     if spatial_extent == "auto":
         # per-axis extents keep the packed int32 key space small enough for
@@ -76,8 +82,8 @@ def fit_statics(
         total = sum(top) if len(top) >= batch_size else sum(top) * batch_size // max(len(top), 1)
         return _round_up(int(total * margin), mult)
 
-    m0 = cap(voxels, 4096)
-    level_sizes = tuple(max(m0 >> i, 4096) for i in range(num_levels))
+    level_sizes = tuple(max(cap(lv, 4096), 4096) for lv in level_voxels)
+    m0 = level_sizes[0]
     return BatchStatics(
         spatial_shape=spatial_shape,
         max_batch=batch_size,
