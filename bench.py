@@ -1,14 +1,15 @@
-"""Benchmark: single-chip training + inference throughput on synthetic
-ScanNet-like scenes.
+"""Benchmark: single-chip training + inference throughput on realistic
+ScanNet-statistics scenes (surface-sampled rooms, ~160k pts/scene mean,
+250k max — matching the real-scan workload the baseline was measured on).
 
 Prints ONE JSON line: the primary metric is training throughput in
-scenes/sec with the heaviest (stage-3) loss configuration.  The reference's
-only published wall-clock number is ~7.5 min/epoch over 1201 scenes at
-batch 10 on a TITAN RTX in stage 3 (comment at
-``/root/reference/train_scannetv2.py:780``) ⇒ **2.67 scenes/sec baseline**.
-
-Extra fields report eval-mode forward throughput (scenes/sec and Mpts/sec)
-for the BASELINE.json "single-chip inference" configs.
+scenes/sec with the heaviest (stage-3) loss configuration at the
+reference's batch size 10.  The reference's only published wall-clock
+number is ~7.5 min/epoch over 1201 scenes at batch 10 of real ScanNet
+scans (~145k pts/scene mean after the 250k crop) on a TITAN RTX in stage 3
+(comment at ``/root/reference/train_scannetv2.py:780``) ⇒ **2.67 scenes/sec
+= 0.39 Mpts/sec baseline**.  Extra fields report train and eval Mpts/sec so
+the comparison is points-normalized, not just scene-normalized.
 """
 import json
 import os
@@ -19,31 +20,23 @@ import numpy as np
 
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
 
-BATCH = int(os.environ.get("BENCH_BATCH", "4"))
+BATCH = int(os.environ.get("BENCH_BATCH", "10"))
 NUM_SCENES = max(2 * BATCH, 8)
-POINTS_PER_SCENE = 25000
 BASELINE_TRAIN_SCENES_PER_SEC = 1201 * 1 / (7.5 * 60) * 1.0  # 2.67
 
 
 def get_scenes():
     from tpu3dwsis.data.scene import load_scene, save_scene
-    from tpu3dwsis.data.synthetic import make_scene
+    from tpu3dwsis.data.synthetic import make_room_scene
 
     os.makedirs(CACHE, exist_ok=True)
     scenes = []
     for s in range(NUM_SCENES):
-        path = os.path.join(CACHE, f"bench_scene_{s}.npz")
+        path = os.path.join(CACHE, f"bench_room_{s}.npz")
         if os.path.exists(path):
             scenes.append(load_scene(path))
         else:
-            sc = make_scene(
-                seed=s,
-                num_instances=10,
-                points_per_instance=1500,
-                num_background=POINTS_PER_SCENE - 15000,
-                extent=8.0,
-                sp_grid=0.4,
-            )
+            sc = make_room_scene(seed=s)
             save_scene(sc, path)
             scenes.append(sc)
     return scenes
@@ -74,7 +67,7 @@ def main():
     # scans); 1.3x margin, training aug margins on the spatial extents
     from tpu3dwsis.core.buckets import fit_statics
 
-    statics = fit_statics(scenes, batch_size=BATCH, scale=50.0, num_levels=5, max_instances=32)
+    statics = fit_statics(scenes, batch_size=BATCH, scale=50.0, num_levels=5, max_instances=64)
     unet_dtype = os.environ.get("BENCH_UNET_DTYPE", "bfloat16")
     remat = os.environ.get("BENCH_REMAT", "0") == "1"
     model = WSISNet(
@@ -109,7 +102,7 @@ def main():
     tx = make_optimizer(variables["params"], max_epochs=120, steps_per_epoch=30)
     state = init_train_state(variables["params"], variables["batch_stats"], tx)
 
-    loss_cfg = LossConfig(classes=20, max_instances=32, num_scenes=BATCH)
+    loss_cfg = LossConfig(classes=20, max_instances=64, num_scenes=BATCH)
     flags = LossFlags(True, True, True)  # stage-3: every loss term on
     raw_step = make_train_step(model, tx, statics, loss_cfg, flags, jit=False)
 
@@ -141,6 +134,9 @@ def main():
     train_dt = time.perf_counter() - t0
     state = new_state
     train_scenes_per_sec = BATCH * n_steps / train_dt
+    batch_points = [int(np.asarray(b.point_valid).sum()) for b in batches]
+    train_points = sum((batch_points * ((n_steps + 1) // 2))[:n_steps])
+    train_mpts_per_sec = train_points / train_dt / 1e6
 
     # ---- inference throughput (eval forward) ----
     note("compiling scanned inference")
@@ -182,9 +178,11 @@ def main():
                 "unit": "scenes/s",
                 "vs_baseline": round(train_scenes_per_sec / BASELINE_TRAIN_SCENES_PER_SEC, 2),
                 "extra": {
+                    "train_mpts_per_sec": round(train_mpts_per_sec, 3),
                     "inference_scenes_per_sec": round(inf_scenes_per_sec, 3),
                     "inference_mpts_per_sec": round(mpts_per_sec, 3),
-                    "points_per_scene": POINTS_PER_SCENE,
+                    "points_per_scene": int(np.mean([s.num_points for s in scenes])),
+                    "baseline_mpts_per_sec": 0.39,
                     "batch": BATCH,
                     "device": str(jax.devices()[0]),
                     "train_step_ms": round(1000 * train_dt / n_steps, 1),

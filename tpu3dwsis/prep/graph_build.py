@@ -21,12 +21,21 @@ from __future__ import annotations
 from typing import Optional, Tuple
 
 import numpy as np
-from scipy import stats
 from scipy.spatial import cKDTree
 
 __all__ = ["build_superpoint_graph", "compute_edge_features", "superpoint_stats"]
 
 IGNORE = -100
+
+
+def _segment_mode(seg: np.ndarray, vals: np.ndarray, s: int) -> np.ndarray:
+    """Per-segment mode of integer labels; ties go to the smallest value
+    (scipy.stats.mode convention)."""
+    vmin = int(vals.min())
+    v = (vals - vmin).astype(np.int64)
+    nv = int(v.max()) + 1
+    cnt = np.bincount(seg.astype(np.int64) * nv + v, minlength=s * nv).reshape(s, nv)
+    return (cnt.argmax(axis=1) + vmin).astype(np.int32)
 
 
 def superpoint_stats(xyz: np.ndarray, superpoint: np.ndarray):
@@ -165,9 +174,11 @@ def build_superpoint_graph(
         src_sp = np.repeat(superpoint, nbr.shape[1] - 1)
         dst_sp = superpoint[nbr[:, 1:].reshape(-1)]
         cross = src_sp != dst_sp
-        for a, b in zip(src_sp[cross], dst_sp[cross]):
-            edge_set.add((int(a), int(b)))
-            edge_set.add((int(b), int(a)))
+        a, b = src_sp[cross].astype(np.int64), dst_sp[cross].astype(np.int64)
+        pairs = np.unique(
+            np.concatenate([a * s + b, b * s + a])
+        )
+        edge_set.update(zip((pairs // s).tolist(), (pairs % s).tolist()))
 
     # KDTree radius edges on superpoint centers (:213-226)
     cent, *_ = superpoint_stats(xyz, superpoint)
@@ -190,15 +201,20 @@ def build_superpoint_graph(
     sp_ins = np.full(s, IGNORE, np.int32)
     sp_offset = np.zeros((s, 3), np.float32)
     if semantic is not None and instance is not None:
-        inst_center = {}
-        for ins_id in np.unique(instance):
-            inst_center[int(ins_id)] = xyz[instance == ins_id].mean(0)
-        for sp_id in range(s):
-            mask = superpoint == sp_id
-            sp_sem[sp_id] = int(stats.mode(semantic[mask], keepdims=True)[0][0])
-            ins_mode = int(stats.mode(instance[mask], keepdims=True)[0][0])
-            sp_ins[sp_id] = ins_mode
-            sp_offset[sp_id] = inst_center[ins_mode] - xyz[mask].mean(0)
+        # vectorized per-superpoint mode labels + instance-center offsets
+        # (same tie behavior as scipy.stats.mode: smallest value wins a tie,
+        # so IGNORE=-100 beats real labels on ties, matching the reference's
+        # per-superpoint loop at prepare_data_inst_ScanNetV2.py:238-255)
+        sp_sem = _segment_mode(superpoint, semantic, s)
+        sp_ins = _segment_mode(superpoint, instance, s)
+        uniq_ins, inv = np.unique(instance, return_inverse=True)
+        icnt = np.maximum(np.bincount(inv, minlength=len(uniq_ins)), 1)
+        icent = np.stack(
+            [np.bincount(inv, weights=xyz[:, d], minlength=len(uniq_ins)) for d in range(3)],
+            axis=1,
+        ) / icnt[:, None]
+        mode_pos = np.searchsorted(uniq_ins, sp_ins)
+        sp_offset = (icent[mode_pos] - cent).astype(np.float32)
 
     edge_feats = compute_edge_features(xyz, superpoint, edges, rng)
     return edges, edge_feats, sp_sem, sp_ins, sp_offset

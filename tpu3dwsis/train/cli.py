@@ -152,13 +152,17 @@ def main(argv=None):
     trainer = Trainer(model, statics, train_ds, tcfg, val_dataset=val_ds)
     trainer.init_state()
 
+    meta = None
     if args.resume:
         ckpt = latest_checkpoint(log_dir)
         if ckpt:
             trainer.state, meta = load_checkpoint(ckpt, trainer.state, train_ds.weak_store)
-            logger.info("resumed from %s (%s)", ckpt, meta)
+            trainer.apply_resume_meta(meta)
+            logger.info(
+                "resumed from %s (stage %s epoch %s)", ckpt, meta.get("stage"), meta.get("epoch")
+            )
 
-    trainer.run()
+    trainer.run(resume_meta=meta)
     logger.info("training complete")
 
 

@@ -119,7 +119,11 @@ class Trainer:
         self.state = init_train_state(variables["params"], variables["batch_stats"], tx)
 
     # ------------------------------------------------------------- one stage
-    def train_stage(self, stage: StageConfig):
+    def train_stage(self, stage: StageConfig, start_epoch: int = 1, keep_opt: bool = False):
+        """Train one stage; ``start_epoch``/``keep_opt`` support exact
+        mid-stage resume (reference ``do_train`` resumes via checkpoint meta,
+        ``train_scannetv2.py:673-693``): the restored opt_state already sits
+        at the right PolyLR schedule position, so it must NOT be re-inited."""
         cfg = self.cfg
         ds = self.train_dataset
         steps_per_epoch = max(len(ds.scenes) // cfg.batch_size, 1)
@@ -131,8 +135,9 @@ class Trainer:
             steps_per_epoch=steps_per_epoch,
             power=cfg.poly_power,
         )
-        # fresh optimizer per stage (reference re-creates it in do_train)
-        self.state = self.state.replace(opt_state=tx.init(self.state.params), step=0)
+        if not keep_opt:
+            # fresh optimizer per stage (reference re-creates it in do_train)
+            self.state = self.state.replace(opt_state=tx.init(self.state.params), step=0)
 
         steps = {}
         for sp_on in (False, True):
@@ -145,7 +150,7 @@ class Trainer:
                 self.model, tx, self.statics, self.loss_cfg, flags, donate=True
             )
 
-        for epoch in range(1, stage.epochs + 1):
+        for epoch in range(start_epoch, stage.epochs + 1):
             sp_on = epoch > stage.joint_training_epoch
             step_fn = steps[sp_on]
             t0 = time.time()
@@ -173,11 +178,19 @@ class Trainer:
                 stage.name, epoch, stage.epochs, mean_loss, time.time() - t0, data_t, step_t,
             )
             if epoch % cfg.save_freq == 0 or epoch == stage.epochs:
+                import json
+
                 path = os.path.join(cfg.log_dir, f"epoch_{epoch:05d}_{stage.name}")
                 save_checkpoint(
                     path,
                     self.state,
-                    {"epoch": epoch, "stage": stage.name},
+                    {
+                        "epoch": epoch,
+                        "stage": stage.name,
+                        "global_step": self.global_step,
+                        # exact-resume extras: data-order RNG mid-stream state
+                        "rng_state": json.dumps(self.rng.bit_generator.state),
+                    },
                     self.train_dataset.weak_store,
                 )
             if self.val_dataset is not None and epoch % cfg.eval_freq == 0:
@@ -309,29 +322,91 @@ class Trainer:
         return res
 
     # ------------------------------------------------------------------ main
-    def run(self):
-        """The full 3-stage curriculum (``main()``, ``train_scannetv2.py:760-784``)."""
+    def stage_list(self):
+        """Ordered (StageConfig, pre_pass) curriculum plan.  The pre-pass is
+        the propagation that runs before the stage's first epoch."""
         cfg = self.cfg
+        plan = [
+            (
+                StageConfig(
+                    "semantic", cfg.stage1_epochs, joint_training_epoch=cfg.joint_training_epoch
+                ),
+                None,
+            )
+        ]
+        for ind, epochs in enumerate(cfg.stage2_rounds):
+            plan.append(
+                (
+                    StageConfig(
+                        f"round{ind}", epochs, joint_training_epoch=-1, supervise_sp_offset=True
+                    ),
+                    lambda ind=ind: self.propagation_pass(ind),
+                )
+            )
+        plan.append(
+            (
+                StageConfig(
+                    "whole_scene",
+                    cfg.stage3_epochs,
+                    joint_training_epoch=-1,
+                    supervise_sp_offset=True,
+                    supervise_instance_size=True,
+                ),
+                self.whole_scene_pass,
+            )
+        )
+        return plan
+
+    def apply_resume_meta(self, meta):
+        """Restore the non-TrainState bits of a checkpoint (global step and
+        the data-order RNG) — call after ``load_checkpoint``."""
+        import json
+
+        self.global_step = int(meta.get("global_step", 0))
+        if "rng_state" in meta:
+            st = json.loads(meta["rng_state"])
+            self.rng = np.random.default_rng()
+            self.rng.bit_generator.state = st
+
+    def run(self, resume_meta: Optional[Dict] = None):
+        """The full 3-stage curriculum (``main()``, ``train_scannetv2.py:760-784``).
+
+        With ``resume_meta`` (the checkpoint's ``{"stage", "epoch", ...}``),
+        completed stages/epochs are skipped: training continues at the exact
+        next epoch, keeping the restored optimizer/schedule position, and the
+        pre-stage propagation pass is NOT re-run mid-stage (its result lives
+        in the checkpointed weak-label store).  Reference behavior:
+        ``train_scannetv2.py:673-693``, ``utils/checkpoint.py:139-196``.
+        """
         if self.state is None:
             self.init_state()
 
-        self.train_stage(
-            StageConfig(
-                "semantic", cfg.stage1_epochs, joint_training_epoch=cfg.joint_training_epoch
+        plan = self.stage_list()
+        start_idx, start_epoch = 0, 1
+        if resume_meta and resume_meta.get("stage"):
+            names = [s.name for s, _ in plan]
+            st_name = str(resume_meta["stage"])
+            if st_name not in names:
+                raise ValueError(f"unknown checkpoint stage {st_name!r}; stages: {names}")
+            i = names.index(st_name)
+            ep = int(resume_meta["epoch"])
+            if ep >= plan[i][0].epochs:  # stage finished: continue at the next
+                start_idx, start_epoch = i + 1, 1
+            else:
+                start_idx, start_epoch = i, ep + 1
+            log.info(
+                "resume fast-forward: starting at stage %s epoch %d",
+                plan[start_idx][0].name if start_idx < len(plan) else "(done)",
+                start_epoch,
             )
-        )
-        for ind, epochs in enumerate(cfg.stage2_rounds):
-            self.propagation_pass(ind)
+
+        for i in range(start_idx, len(plan)):
+            stage, pre = plan[i]
+            mid_stage = i == start_idx and start_epoch > 1
+            if pre is not None and not mid_stage:
+                pre()
             self.train_stage(
-                StageConfig(f"round{ind}", epochs, joint_training_epoch=-1, supervise_sp_offset=True)
+                stage,
+                start_epoch=start_epoch if i == start_idx else 1,
+                keep_opt=mid_stage,
             )
-        self.whole_scene_pass()
-        self.train_stage(
-            StageConfig(
-                "whole_scene",
-                cfg.stage3_epochs,
-                joint_training_epoch=-1,
-                supervise_sp_offset=True,
-                supervise_instance_size=True,
-            )
-        )
