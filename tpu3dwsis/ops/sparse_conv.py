@@ -4,17 +4,23 @@ The MXU-friendly formulation of spconv's three conv types
 (``SubMConv3d`` / ``SparseConv3d(k2,s2)`` / ``SparseInverseConv3d``, call
 sites ``modules/model/sparse_unet3d.py:116-119,261-267,292-297``):
 
-* every conv is ``K`` steps of ``gather(features, nbr[k]) @ W[k]`` summed,
-  where ``nbr`` comes from :mod:`tpu3dwsis.ops.rulebook` — each step is one
-  large ``[M, Cin] x [Cin, Cout]`` matmul;
+* every conv is gather→GEMM over kernel offsets, where the neighbor tables
+  come from :mod:`tpu3dwsis.ops.rulebook`;
+* **offset grouping**: the MXU is a 128×128 systolic array, so a
+  ``[M, 32] x [32, 32]`` per-offset matmul wastes ~16× of it in K/N
+  padding.  We instead gather ``g = max(1, 128 // Cin)`` offsets at once
+  into ``[M, g*Cin]`` and do ONE ``[M, g*Cin] x [g*Cin, Cout]`` matmul —
+  the same FLOPs and HBM traffic, but the contraction dimension now fills
+  the array.  Offsets short of a full group read the null row / zero
+  weights, so grouping never changes the math;
 * gathers use a features array with one extra **null row** of zeros at index
   ``M`` so misses contribute nothing;
-* the inverse conv is the transpose: ``K`` matmuls on the coarse features
-  scattered to their (unique) child rows.
+* the inverse conv is a pure gather: every fine site has exactly one
+  (parent, offset) pair.
 
-The loop over ``K`` is a ``lax.scan`` so peak memory stays ``O(M*C)`` rather
-than ``O(K*M*C)``; XLA pipelines the gather of step k+1 with the matmul of
-step k.  Weights are stored ``[K, Cin, Cout]`` with offset order defined by
+The loop over offset groups is a ``lax.scan`` so peak memory stays
+``O(M*C)``; XLA pipelines the gather of step k+1 with the matmul of step k.
+Weights are stored ``[K, Cin, Cout]`` with offset order defined by
 ``rulebook.subm_offsets`` / ``rulebook.down_offsets``.
 
 A fused Pallas kernel for the gather-GEMM inner loop lives in
@@ -22,8 +28,6 @@ A fused Pallas kernel for the gather-GEMM inner loop lives in
 the autodiff-complete default.
 """
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -38,10 +42,34 @@ __all__ = [
     "inverse_conv_scatter",
 ]
 
+# MXU contraction width to fill with offset groups
+_MXU_K = 128
+
 
 def _with_null_row(feats: jax.Array) -> jax.Array:
     """Append a zero row so index ``M`` reads zeros."""
     return jnp.concatenate([feats, jnp.zeros((1, feats.shape[1]), feats.dtype)], axis=0)
+
+
+def _group_size(k: int, c: int) -> int:
+    """Offsets per K-block: fill the MXU contraction dim (c*g >= 128)."""
+    return max(1, min(int(k), _MXU_K // max(int(c), 1)))
+
+
+def _grouped(nbr: jax.Array, weights: jax.Array, group: int, null_idx: int):
+    """Reshape ``nbr [K, M]`` / ``weights [K, Cin, Cout]`` into G groups of
+    ``group`` offsets, zero/null padding the tail group."""
+    k, m = nbr.shape
+    cin, cout = weights.shape[1], weights.shape[2]
+    kp = -(-k // group) * group
+    if kp != k:
+        nbr = jnp.concatenate(
+            [nbr, jnp.full((kp - k, m), null_idx, nbr.dtype)], axis=0
+        )
+        weights = jnp.concatenate(
+            [weights, jnp.zeros((kp - k, cin, cout), weights.dtype)], axis=0
+        )
+    return nbr.reshape(kp // group, group, m), weights.reshape(kp // group, group * cin, cout)
 
 
 def gather_conv(
@@ -57,16 +85,18 @@ def gather_conv(
     """
     x = _with_null_row(feats)
     m_out = nbr.shape[1]
-    cout = weights.shape[2]
+    cin, cout = weights.shape[1], weights.shape[2]
+    group = _group_size(nbr.shape[0], cin)
+    nbr_g, w_g = _grouped(nbr, weights.astype(feats.dtype), group, feats.shape[0])
 
     def step(acc, kw):
-        nbr_k, w_k = kw
-        g = x[nbr_k]  # [M_out, Cin]
+        nbr_k, w_k = kw  # [group, M_out], [group*Cin, Cout]
+        g = x[nbr_k.T].reshape(m_out, group * cin)
         acc = acc + jnp.dot(g, w_k, preferred_element_type=accum_dtype)
         return acc, None
 
     acc0 = jnp.zeros((m_out, cout), accum_dtype)
-    acc, _ = jax.lax.scan(step, acc0, (nbr, weights))
+    acc, _ = jax.lax.scan(step, acc0, (nbr_g, w_g))
     return acc.astype(feats.dtype)
 
 
@@ -84,7 +114,7 @@ def scatter_conv(
     Cout]``. Returns ``[m_out, Cout]``.  For the k2s2 inverse conv every
     child row receives exactly one (k, m) contribution, so this is
     collision-free; the implementation is still an add-scatter and therefore
-    correct regardless.
+    correct regardless (oracle path only — the model uses the gather forms).
     """
     def step(acc, kw):
         nbr_k, w_k = kw
@@ -98,16 +128,29 @@ def scatter_conv(
 
 
 def _weight_grad(feats, nbr, g, accum_dtype=jnp.float32):
-    """dW[k] = gather(x, nbr[k])^T @ g — recompute-the-gather formulation."""
+    """dW[k] = gather(x, nbr[k])^T @ g — recompute-the-gather formulation,
+    offset-grouped so the matmul's M dimension is ``group*Cin`` (>=128)
+    instead of a 128-padded Cin=32."""
     x = _with_null_row(feats)
+    m_out = nbr.shape[1]
+    cin = feats.shape[1]
+    k = nbr.shape[0]
+    group = _group_size(k, cin)
+    kp = -(-k // group) * group
+    if kp != k:
+        nbr = jnp.concatenate(
+            [nbr, jnp.full((kp - k, m_out), feats.shape[0], nbr.dtype)], axis=0
+        )
+    nbr_g = nbr.reshape(kp // group, group, m_out)
 
     def step(_, nbr_k):
-        gk = x[nbr_k]  # [M_out, Cin]
+        gk = x[nbr_k.T].reshape(m_out, group * cin)  # [M_out, group*Cin]
         dw = jnp.einsum("mc,md->cd", gk, g, preferred_element_type=accum_dtype)
-        return None, dw
+        return None, dw  # [group*Cin, Cout]
 
-    _, dws = jax.lax.scan(step, None, nbr)
-    return dws  # [K, Cin, Cout]
+    _, dws = jax.lax.scan(step, None, nbr_g)
+    dws = dws.reshape(kp // group, group, cin, -1).reshape(kp, cin, -1)
+    return dws[:k]  # [K, Cin, Cout]
 
 
 # Custom VJPs: every backward is a GATHER, never a scatter ---------------------
@@ -135,20 +178,32 @@ def _subm_bwd(res, g):
     # Shared-gather backward: with g'_k = gather(g, nbr[k]),
     #   dL/dx     = sum_k g'_k @ W[K-1-k]^T        (offset-flip symmetry)
     #   dL/dW[K-1-k] = x^T @ g'_k                   (same bijective matching)
-    # so ONE gather per offset serves both gradients.
+    # so ONE gather per offset serves both gradients; gathers and matmuls are
+    # offset-grouped like the forward.
     g_null = _with_null_row(g)
-    w_back = jnp.flip(w, axis=0).transpose(0, 2, 1)  # w_back[k] = W[K-1-k]^T
+    m = feats.shape[0]
+    cin, cout = w.shape[1], w.shape[2]
+    k = nbr.shape[0]
+    w_back = jnp.flip(w, axis=0).transpose(0, 2, 1).astype(feats.dtype)  # [K, Cout, Cin]
+    group = _group_size(k, cout)
+    nbr_g, wb_g = _grouped(nbr, w_back, group, m)
+    kp = nbr_g.shape[0] * group
     xf = feats.astype(jnp.float32)
 
     def step(acc, kw):
-        nbr_k, wb_k = kw
-        gk = g_null[nbr_k]  # [M, Cout]
+        nbr_k, wb_k = kw  # [group, M], [group*Cout, Cin]
+        gk = g_null[nbr_k.T].reshape(m, group * cout)
         acc = acc + jnp.dot(gk, wb_k, preferred_element_type=jnp.float32)
         dw_k = jnp.einsum("mc,md->cd", xf, gk, preferred_element_type=jnp.float32)
-        return acc, dw_k
+        return acc, dw_k  # dw_k: [Cin, group*Cout]
 
-    acc0 = jnp.zeros((feats.shape[0], w.shape[1]), jnp.float32)
-    dx, dw_flipped = jax.lax.scan(step, acc0, (nbr, w_back))
+    acc0 = jnp.zeros((m, cin), jnp.float32)
+    dx, dw_blocks = jax.lax.scan(step, acc0, (nbr_g, wb_g))
+    dw_flipped = (
+        dw_blocks.reshape(kp // group, cin, group, cout)
+        .transpose(0, 2, 1, 3)
+        .reshape(kp, cin, cout)[:k]
+    )
     dw = jnp.flip(dw_flipped, axis=0).astype(w.dtype)
     return dx.astype(feats.dtype), None, dw
 
@@ -156,7 +211,7 @@ def _subm_bwd(res, g):
 subm_conv.defvjp(_subm_fwd, _subm_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=())
+@jax.custom_vjp
 def down_conv(feats, down_nbr, parent, child_offset, weights):
     """k=2 s=2 strided conv fine→coarse (spconv ``SparseConv3d`` semantics).
     ``parent``/``child_offset`` (the inverse tables) drive the gather-only
@@ -198,7 +253,7 @@ def inverse_conv_raw(feats, parent, child_offset, weights, accum_dtype=jnp.float
     m_c = feats.shape[0]
     k = weights.shape[0]
     y = jnp.einsum(
-        "mc,kcd->kmd", feats, weights, preferred_element_type=accum_dtype
+        "mc,kcd->kmd", feats, weights.astype(feats.dtype), preferred_element_type=accum_dtype
     ).astype(feats.dtype)
     flat = y.reshape(k * m_c, -1)
     flat = jnp.concatenate([flat, jnp.zeros((1, flat.shape[1]), flat.dtype)], axis=0)
@@ -223,15 +278,33 @@ def _inv_bwd(res, g):
     feats, parent, child_offset, down_nbr, w = res
     g = g.astype(feats.dtype)
     dx = gather_conv(g, down_nbr, w.transpose(0, 2, 1))
-    # dW[k] = x^T @ gather(g, down_nbr[k])
+    # dW[k] = x^T @ gather(g, down_nbr[k]) — grouped like _weight_grad but
+    # with the gather on the OUTPUT side
     g_null = _with_null_row(g)
+    m_c = feats.shape[0]
+    cin, cout = w.shape[1], w.shape[2]
+    k = down_nbr.shape[0]
+    group = _group_size(k, cout)
+    kp = -(-k // group) * group
+    nbr = down_nbr
+    if kp != k:
+        nbr = jnp.concatenate(
+            [nbr, jnp.full((kp - k, m_c), g.shape[0], nbr.dtype)], axis=0
+        )
+    nbr_g = nbr.reshape(kp // group, group, m_c)
+    xf = feats.astype(jnp.float32)
 
     def step(_, nbr_k):
-        gk = g_null[nbr_k]  # [M_coarse, Cout]
-        dw = jnp.einsum("mc,md->cd", feats, gk, preferred_element_type=jnp.float32)
-        return None, dw
+        gk = g_null[nbr_k.T].reshape(m_c, group * cout)
+        dw = jnp.einsum("mc,md->cd", xf, gk, preferred_element_type=jnp.float32)
+        return None, dw  # [Cin, group*Cout]
 
-    _, dws = jax.lax.scan(step, None, down_nbr)
+    _, dw_blocks = jax.lax.scan(step, None, nbr_g)
+    dws = (
+        dw_blocks.reshape(kp // group, cin, group, cout)
+        .transpose(0, 2, 1, 3)
+        .reshape(kp, cin, cout)[:k]
+    )
     return dx, None, None, None, dws.astype(w.dtype)
 
 
