@@ -24,6 +24,31 @@ def test_fit_statics_covers_worst_batch():
     collate(worst, labels, statics, np.random.default_rng(0), training=False)
 
 
+def test_collate_overflow_recrops_instead_of_raising():
+    """An outlier scene bigger than the bucket must train through: collate
+    re-crops it tighter (or drops it) instead of killing the run
+    (VERDICT r1 weak #5)."""
+    import pytest
+
+    small = make_scene(seed=0, num_instances=3, points_per_instance=100, num_background=300)
+    outlier = make_scene(seed=1, num_instances=6, points_per_instance=600, num_background=2000)
+    statics = fit_statics([small], batch_size=2, num_levels=2, max_instances=16)
+    labels = [
+        SceneLabels(s.sem, s.ins, s.sp_sem_gt, s.sp_ins_gt, s.sp_offset_gt)
+        for s in (small, outlier)
+    ]
+    rng = np.random.default_rng(0)
+    out = collate([small, outlier], labels, statics, rng, training=True)
+    # the small scene survived intact; the outlier was cropped (or dropped)
+    offs = out["_point_offsets"]
+    assert offs[1] == small.num_points
+    assert out["point_valid"].sum() <= statics.max_points
+    assert out["sp_valid"].sum() <= statics.max_superpoints
+    # eval mode must still refuse (silent cropping would corrupt metrics)
+    with pytest.raises(ValueError):
+        collate([outlier], labels[1:], statics, rng, training=False)
+
+
 def test_auto_buckets_via_cli_config(tmp_path):
     cfg_path = tmp_path / "auto.yaml"
     cfg_path.write_text(

@@ -37,11 +37,13 @@ def fit_statics(
     num_levels: int = 5,
     margin: float = 1.3,
     max_instances: int = 128,
-    sample: int = 64,
+    sample: int | None = None,
 ) -> BatchStatics:
-    """Measure up to ``sample`` scenes and size a training bucket for
-    ``batch_size`` of the largest of them."""
-    scenes = list(scenes)[:sample]
+    """Measure the dataset (ALL scenes by default — a 64-scene sample once
+    missed outlier superpoint/edge counts and crashed multi-hour runs; the
+    measurement is cheap numpy) and size a training bucket for
+    ``batch_size`` of the largest scenes."""
+    scenes = list(scenes)[:sample] if sample else list(scenes)
     pts, sps, edges = [], [], []
     level_voxels = [[] for _ in range(num_levels)]
     ext = np.zeros(3, np.int64)

@@ -166,41 +166,82 @@ def collate(
             xyz = elastic(xyz, 20 * scale // 50, 160 * scale / 50, rng)
         xyz = xyz - xyz.min(0)
 
-        if training:
-            if crop_mode == "block":
-                from .s3dis import crop_block
+        # ---- crop, with overflow resilience (VERDICT r1 weak #5): padded
+        # capacities are a TPU-only constraint the reference never had, so on
+        # overflow we re-crop tighter (shrinking the target point count) up
+        # to a few times, then drop the scene with a warning rather than
+        # killing a multi-hour run.  Eval batches still raise: silently
+        # cropping an eval scene would corrupt metrics.
+        rem_p, rem_s, rem_e = N - p_cursor, S - sp_cursor, E - e_cursor
+        target_npoint = min(max_npoint, rem_p) if training else max_npoint
+        noise3 = rng.standard_normal(3).astype(np.float32) * 0.1
+        for attempt in range(4):
+            if training:
+                if crop_mode == "block":
+                    from .s3dis import crop_block
 
-                keep = crop_block(xyz, rng, max_npoint)
-                if keep.any():
-                    xyz = xyz - xyz[keep].min(0)
+                    keep = crop_block(xyz, rng, target_npoint)
+                    xyz_c = xyz - xyz[keep].min(0) if keep.any() else xyz
+                else:
+                    xyz_c, keep = crop_scene(xyz, rng, target_npoint, full_scale_hi)
             else:
-                xyz, keep = crop_scene(xyz, rng, max_npoint, full_scale_hi)
+                xyz_c, keep = xyz, np.ones(len(xyz), bool)
+
+            psem = base_psem[keep]
+            pins = base_pins[keep].copy()
+            sp = base_sp[keep]
+            # superpoint re-basing within the crop (unique+inverse, :169-171)
+            subset, new_sp = np.unique(sp, return_inverse=True)
+            n_sp = len(subset)
+            n_pt = int(keep.sum())
+            # instance relabel: scene-local contiguous ids for valid instances
+            uniq_ins = np.unique(pins[pins != IGNORE])
+            # edge subgraph size (both endpoints surviving)
+            remap = np.full(scene.num_superpoints, -1, np.int64)
+            remap[subset] = np.arange(n_sp)
+            eu = remap[scene.edges[:, 0]]
+            ev = remap[scene.edges[:, 1]]
+            ekeep = (eu >= 0) & (ev >= 0)
+            n_e = int(ekeep.sum())
+
+            fits = (
+                n_pt <= rem_p and n_sp <= rem_s and n_e <= rem_e and len(uniq_ins) <= imax
+            )
+            if fits:
+                break
+            if not training:
+                raise ValueError(
+                    f"bucket overflow (eval): points {p_cursor + n_pt}/{N} "
+                    f"superpoints {sp_cursor + n_sp}/{S} edges {e_cursor + n_e}/{E} "
+                    f"instances {len(uniq_ins)}/{imax}"
+                )
+            # shrink proportionally to the worst overflow ratio
+            ratio = max(
+                n_pt / max(rem_p, 1),
+                n_sp / max(rem_s, 1),
+                n_e / max(rem_e, 1),
+                len(uniq_ins) / imax,
+            )
+            target_npoint = max(int(n_pt / ratio * 0.85), 256)
         else:
-            keep = np.ones(len(xyz), bool)
+            import logging
+
+            logging.getLogger("tpu3dwsis.data").warning(
+                "collate: dropping scene %s — does not fit bucket even after "
+                "re-crops (points %d/%d sp %d/%d edges %d/%d inst %d/%d)",
+                scene.name, n_pt, rem_p, n_sp, rem_s, n_e, rem_e, len(uniq_ins), imax,
+            )
+            point_offsets.append(p_cursor)
+            sp_offsets.append(sp_cursor)
+            edge_offsets.append(e_cursor)
+            continue
 
         xyz_middle = xyz_middle[keep]
-        xyz_keep = xyz[keep]
+        xyz_keep = xyz_c[keep]
         rgb = base_rgb[keep]
         if training:
-            rgb = rgb + rng.standard_normal(3).astype(np.float32) * 0.1
-        psem = base_psem[keep]
-        pins = base_pins[keep].copy()
-        sp = base_sp[keep]
-
-        # superpoint re-basing within the crop (unique+inverse, :169-171)
-        subset, new_sp = np.unique(sp, return_inverse=True)
-        n_sp = len(subset)
-        n_pt = len(xyz_keep)
-        if p_cursor + n_pt > N or sp_cursor + n_sp > S:
-            raise ValueError(
-                f"bucket overflow: points {p_cursor + n_pt}/{N} superpoints {sp_cursor + n_sp}/{S}"
-            )
-
-        # instance relabel: scene-local contiguous ids for valid instances
-        uniq_ins = np.unique(pins[pins != IGNORE])
+            rgb = rgb + noise3
         local_of = {int(g): j for j, g in enumerate(uniq_ins)}
-        if len(uniq_ins) > imax:
-            raise ValueError(f"instance overflow: {len(uniq_ins)} > {imax}")
 
         sl_p = slice(p_cursor, p_cursor + n_pt)
         coords_int = xyz_keep.astype(np.int32)
@@ -230,16 +271,7 @@ def collate(
         if lab.sp_size is not None:
             out["sp_size"][sl_s] = lab.sp_size[subset]
 
-        # subgraph: edges with both endpoints surviving (igraph.subgraph equiv)
-        old_of_new = subset
-        remap = np.full(scene.num_superpoints, -1, np.int64)
-        remap[old_of_new] = np.arange(n_sp)
-        eu = remap[scene.edges[:, 0]]
-        ev = remap[scene.edges[:, 1]]
-        ekeep = (eu >= 0) & (ev >= 0)
-        n_e = int(ekeep.sum())
-        if e_cursor + n_e > E:
-            raise ValueError(f"edge overflow: {e_cursor + n_e}/{E}")
+        # subgraph edges (eu/ev/ekeep computed in the crop-attempt loop)
         sl_e = slice(e_cursor, e_cursor + n_e)
         out["edge_u"][sl_e] = eu[ekeep] + sp_cursor
         out["edge_v"][sl_e] = ev[ekeep] + sp_cursor

@@ -131,16 +131,16 @@ def convert_seconds(seconds: float) -> str:
 
 
 class MetricsWriter:
-    """TensorBoard writer when available, JSONL fallback otherwise."""
+    """JSONL + TensorBoard event-file metrics (reference parity:
+    ``utils/log_buffer.py:12-90`` wraps tensorboardX; here the TB format is
+    written natively by :mod:`tpu3dwsis.utils.tbevents`)."""
 
-    def __init__(self, log_dir: str):
+    def __init__(self, log_dir: str, tensorboard: bool = True):
         self._tb = None
-        try:
-            from tensorboardX import SummaryWriter
+        if tensorboard:
+            from .tbevents import TBEventWriter
 
-            self._tb = SummaryWriter(log_dir)
-        except Exception:
-            pass
+            self._tb = TBEventWriter(log_dir)
         self._jsonl = open(os.path.join(log_dir, "metrics.jsonl"), "a")
 
     def update(self, scalars: Dict[str, float], step: int):
@@ -153,6 +153,7 @@ class MetricsWriter:
         if self._tb is not None:
             for k, v in clean.items():
                 self._tb.add_scalar(k, v, step)
+            self._tb.flush()
         self._jsonl.write(json.dumps({"step": step, **clean}) + "\n")
         self._jsonl.flush()
 
