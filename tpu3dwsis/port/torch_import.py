@@ -4,11 +4,17 @@ The reference releases ``epoch_00120_whole_scene.pth`` checkpoints
 (``README.md:55``) whose state dict follows ``backbone_3D_WSIS.Network``.
 This maps every tensor into our flax tree:
 
-* spconv conv weights ``[kz, ky, kx, Cin, Cout]``-style volumes →
+* spconv conv weight volumes ``[k0, k1, k2, Cin, Cout]`` →
   ``[K, Cin, Cout]`` with K in our ``rulebook.subm_offsets`` order
-  (``(dx, dy, dz)`` row-major).  The kernel-axis memory order of spconv
-  checkpoints varies by version; ``kernel_axis_order`` picks the
-  permutation ("zyx" for spconv 1.x default, "xyz" otherwise).
+  (``(dx, dy, dz)`` row-major).  Axis convention: spconv 1.x (the
+  llijiang fork the reference installs, ``README.md:35-37``) stores
+  kernel axes in the same order as the input's spatial dims — the
+  reference feeds coords as ``(batch, x, y, z)`` — and matches dense
+  ``Conv3d`` cross-correlation semantics, so the default is ``"xyz"``
+  (k0 = dx, weight index i ↔ offset i-1).  This is pinned by
+  ``tests/test_fullgraph_parity.py::test_kernel_axis_order_impulse``,
+  which proves our enumeration equals torch's dense cross-correlation;
+  ``"zyx"`` is kept for checkpoints from forks with flipped layouts.
 * ``BatchNorm1d`` → MaskedBatchNorm {scale, bias} + batch_stats {mean, var};
 * torch ``Linear`` ``weight [out, in]`` → flax ``kernel [in, out]``
   (transposed);
@@ -45,7 +51,7 @@ def _bn(sd, prefix):
     return params, stats
 
 
-def _conv(sd, key, kernel_axis_order="zyx"):
+def _conv(sd, key, kernel_axis_order="xyz"):
     """spconv weight volume → [K, Cin, Cout] in (dx,dy,dz) row-major order."""
     w = np.asarray(sd[key])
     if w.ndim == 2:  # 1x1 conv stored flat
@@ -109,7 +115,7 @@ def convert_state_dict(
     sd: Dict[str, "np.ndarray"],
     blocks: int = 5,
     block_reps: int = 2,
-    kernel_axis_order: str = "zyx",
+    kernel_axis_order: str = "xyz",
 ) -> Tuple[Dict, Dict]:
     sd = {k: np.asarray(v) for k, v in sd.items()}
     kao = kernel_axis_order
