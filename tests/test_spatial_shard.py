@@ -1,0 +1,111 @@
+"""Spatial sharding: 8-way sharded whole-scene forward == single-device.
+
+VERDICT r1 missing #2 / next-round #3: shard the voxel/point x-axis over a
+device mesh with per-conv halo exchange (``dist/spatial.py``) and prove the
+sharded eval forward reproduces the single-device outputs on a scene bigger
+than one shard's slab.
+"""
+import numpy as np
+import pytest
+
+import jax
+
+from tpu3dwsis.core.containers import BatchStatics
+from tpu3dwsis.data.collate import SceneLabels, collate, to_scene_batch
+from tpu3dwsis.data.synthetic import make_scene
+from tpu3dwsis.dist.spatial import build_spatial_batch, spatial_forward
+from tpu3dwsis.nn.network import NetConfig, WSISNet, preprocess
+
+BLOCKS, MEDIA = 3, 16
+
+
+@pytest.fixture(scope="module")
+def world():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    # NB: level capacities must cover the true per-level voxel counts — the
+    # dense synthetic blobs barely shrink at the first k2s2 halving, and
+    # jnp.unique(size=...) silently drops overflow, which would corrupt the
+    # single-device *reference* (the sharded path pads per shard and does
+    # not drop).
+    statics = BatchStatics(
+        spatial_shape=(512, 512, 256),
+        max_batch=1,
+        max_voxels=8192,
+        num_levels=BLOCKS,
+        level_sizes=(8192, 8192, 8192),
+        max_points=8192,
+        max_superpoints=1024,
+        max_edges=16384,
+        max_instances=16,
+    )
+    sc = make_scene(seed=7, num_instances=6, points_per_instance=400,
+                    num_background=3000, extent=8.0)
+    lab = SceneLabels(sc.sem, sc.ins, sc.sp_sem_gt, sc.sp_ins_gt, sc.sp_offset_gt)
+    arrays = collate([sc], [lab], statics, np.random.default_rng(0), training=False)
+    model = WSISNet(NetConfig(classes=20, media=MEDIA, blocks=BLOCKS))
+    batch = to_scene_batch(arrays)
+    pre = preprocess(batch, statics)
+    variables = model.init(jax.random.PRNGKey(0), batch, pre, train=False)
+    ref = model.apply(variables, batch, pre, train=False)
+    return statics, sc, arrays, model, variables, batch, ref
+
+
+def test_spatial_partition_covers_everything(world):
+    statics, sc, arrays, model, variables, batch, ref = world
+    sb = build_spatial_batch(arrays, statics.spatial_shape, statics.max_batch,
+                             n_shards=8, num_levels=BLOCKS)
+    # every global voxel owned exactly once, halos present on both sides
+    lv0 = sb.levels[0]
+    owned_keys = np.concatenate([lv0.keys[d][lv0.owned[d]] for d in range(8)])
+    assert len(np.unique(owned_keys)) == len(owned_keys)
+    from tpu3dwsis.dist.spatial import _pack_np
+
+    pc = arrays["point_coords"][arrays["point_valid"]]
+    gkeys = np.unique(_pack_np(pc, statics.spatial_shape, 1))
+    assert set(owned_keys.tolist()) == set(gkeys.tolist())
+    # points partitioned without loss
+    assert int(sb.batches.point_valid.sum()) == int(arrays["point_valid"].sum())
+    # at least one shard's slab is smaller than the scene (actually sharded)
+    assert all(lv0.owned[d].sum() < len(gkeys) for d in range(8))
+
+
+def test_spatial_forward_matches_single_device(world):
+    statics, sc, arrays, model, variables, batch, ref = world
+    sb = build_spatial_batch(arrays, statics.spatial_shape, statics.max_batch,
+                             n_shards=8, num_levels=BLOCKS)
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:8]), ("space",))
+    outs = spatial_forward(model, variables["params"], variables["batch_stats"],
+                           sb, mesh, axis="space")
+
+    # ---- superpoint / edge outputs are replicated and must match ----
+    s = sc.num_superpoints
+    for key in ["sp_semantic_scores", "pred_sp_offset_vectors",
+                "pred_sp_occupancy", "pred_sp_ins_size",
+                "sp_discriminative_feats"]:
+        np.testing.assert_allclose(
+            np.asarray(outs[key])[:s], np.asarray(ref[key])[:s],
+            rtol=5e-4, atol=5e-4, err_msg=key,
+        )
+    ev = np.asarray(batch.edge_valid)
+    np.testing.assert_allclose(
+        np.asarray(outs["edge_affinity"])[ev], np.asarray(ref["edge_affinity"])[ev],
+        rtol=5e-4, atol=5e-5,
+    )
+
+    # ---- point outputs: match by xyz identity (partition reorders points) --
+    ref_valid = np.asarray(batch.point_valid)
+    ref_xyz = np.asarray(batch.point_xyz)[ref_valid]
+    ref_scores = np.asarray(ref["semantic_scores"])[ref_valid]
+
+    sh_valid = np.asarray(sb.batches.point_valid).reshape(-1)
+    sh_xyz = np.asarray(sb.batches.point_xyz).reshape(-1, 3)[sh_valid]
+    sh_scores = np.asarray(outs["semantic_scores"]).reshape(-1, 20)[sh_valid]
+    assert len(sh_xyz) == len(ref_xyz)
+
+    def lexorder(a):
+        return np.lexsort((a[:, 2], a[:, 1], a[:, 0]))
+
+    ro, so = lexorder(ref_xyz), lexorder(sh_xyz)
+    np.testing.assert_allclose(ref_xyz[ro], sh_xyz[so], atol=0)
+    np.testing.assert_allclose(sh_scores[so], ref_scores[ro], rtol=5e-4, atol=5e-4)

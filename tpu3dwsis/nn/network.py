@@ -22,7 +22,19 @@ from ..ops.segment import segment_mean, segment_softmax, segment_sum
 from .norm import MaskedBatchNorm
 from .unet import SparseUNet
 
-__all__ = ["Preprocessed", "preprocess", "MLPHead", "WSISNet", "NetConfig"]
+__all__ = ["Preprocessed", "preprocess", "MLPHead", "WSISNet", "NetConfig", "SpatialCtx"]
+
+
+class SpatialCtx(NamedTuple):
+    """Spatial-sharding execution context (``parallel/spatial.py``): the
+    mesh axis the voxel/point rows are sharded over, plus one halo-refresh
+    callable per U-Net level.  With this set, ``WSISNet.__call__`` runs
+    inside ``shard_map``: superpoint pooling psums partial sums over the
+    axis (superpoints straddle slab boundaries) and the ECC/heads stage runs
+    replicated on every device."""
+
+    axis: str
+    refreshes: tuple  # per-level halo refresh callables
 
 
 class NetConfig(NamedTuple):
@@ -108,7 +120,13 @@ class WSISNet(nn.Module):
     cfg: NetConfig = NetConfig()
 
     @nn.compact
-    def __call__(self, batch: SceneBatch, pre: Preprocessed, train: bool) -> Dict[str, jax.Array]:
+    def __call__(
+        self,
+        batch: SceneBatch,
+        pre: Preprocessed,
+        train: bool,
+        spatial: SpatialCtx | None = None,
+    ) -> Dict[str, jax.Array]:
         from .ecc import EccGraphNetwork  # local import to avoid cycle at module load
 
         cfg = self.cfg
@@ -118,7 +136,7 @@ class WSISNet(nn.Module):
         unet_in = pre.voxel_feats.astype(jnp.dtype(cfg.unet_dtype))
         vox_out = SparseUNet(
             cfg.media, cfg.blocks, cfg.block_reps, cfg.remat, name="unet"
-        )(unet_in, pre.plan, train)
+        )(unet_in, pre.plan, train, spatial.refreshes if spatial is not None else None)
         vox_out = vox_out.astype(jnp.float32)
         # voxel -> point (invalid points read the appended null row)
         vox_out_null = jnp.concatenate(
@@ -133,7 +151,18 @@ class WSISNet(nn.Module):
 
         # ---- superpoint pooling (scatter mean, backbone_3D_WSIS.py:188) ----
         s = batch.num_superpoints
-        embeddings = segment_mean(point_feats, batch.point_sp, s + 1)[:s]
+        if spatial is None:
+            embeddings = segment_mean(point_feats, batch.point_sp, s + 1)[:s]
+        else:
+            # points are sharded over the space axis but superpoints straddle
+            # slab boundaries: psum the partial sums/counts, then every
+            # device holds the full (replicated) superpoint embeddings
+            from ..ops.segment import segment_count
+
+            sums = segment_sum(point_feats, batch.point_sp, s + 1)
+            cnt = segment_count(batch.point_sp, s + 1)
+            sums, cnt = jax.lax.psum((sums, cnt), spatial.axis)
+            embeddings = sums[:s] / jnp.maximum(cnt[:s, None], 1e-12)
 
         # ---- ECC graph net ----
         ecc_out = EccGraphNetwork(

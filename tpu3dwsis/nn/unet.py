@@ -82,16 +82,25 @@ def _axis_zero_rows(axis: int):
     return _np.where(_so(3)[:, axis] == 0)[0]
 
 
+def _id(x):
+    """Default no-op halo refresh.  The spatially-sharded forward passes a
+    per-level ``refresh`` that overwrites halo voxel rows with their owners'
+    freshly-convolved values (lax.ppermute over the space axis); it must run
+    after every conv output and nowhere else — elementwise ops (BN eval,
+    ReLU, residual adds) keep halo copies consistent on their own."""
+    return x
+
+
 class VGGBlock(nn.Module):
     """BN→ReLU→SubM3 (``sparse_unet3d.py:175-211``, ``normalize_before``)."""
 
     features: int
 
     @nn.compact
-    def __call__(self, x, subm_nbr, mask, train: bool):
+    def __call__(self, x, subm_nbr, mask, train: bool, refresh=_id):
         h = MaskedBatchNorm(x.shape[-1], name="bn")(x, mask, train)
         h = nn.relu(h)
-        return SubMConv(self.features, name="conv")(h, subm_nbr)
+        return refresh(SubMConv(self.features, name="conv")(h, subm_nbr))
 
 
 class AsymResidualBlock(nn.Module):
@@ -102,7 +111,7 @@ class AsymResidualBlock(nn.Module):
     features: int
 
     @nn.compact
-    def __call__(self, x, subm_nbr, mask, train: bool):
+    def __call__(self, x, subm_nbr, mask, train: bool, refresh=_id):
         rows_133 = _axis_zero_rows(0)  # (1,3,3): dx == 0
         rows_313 = _axis_zero_rows(1)  # (3,1,3): dy == 0
         nbr_133 = subm_nbr[rows_133]
@@ -111,10 +120,10 @@ class AsymResidualBlock(nn.Module):
         def branch(first_nbr, second_nbr, name):
             h = MaskedBatchNorm(x.shape[-1], name=f"{name}_bn1")(x, mask, train)
             h = nn.leaky_relu(h)
-            h = SubMConv(self.features, name=f"{name}_conv1")(h, first_nbr)
+            h = refresh(SubMConv(self.features, name=f"{name}_conv1")(h, first_nbr))
             h = MaskedBatchNorm(self.features, name=f"{name}_bn2")(h, mask, train)
             h = nn.leaky_relu(h)
-            return SubMConv(self.features, name=f"{name}_conv2")(h, second_nbr)
+            return refresh(SubMConv(self.features, name=f"{name}_conv2")(h, second_nbr))
 
         return branch(nbr_313, nbr_133, "b1") + branch(nbr_133, nbr_313, "b2")
 
@@ -128,7 +137,7 @@ class ResidualBlock(nn.Module):
     bn_momentum: float = 0.1
 
     @nn.compact
-    def __call__(self, x, subm_nbr, mask, train: bool):
+    def __call__(self, x, subm_nbr, mask, train: bool, refresh=_id):
         cin = x.shape[-1]
         if cin == self.features:
             identity = x
@@ -141,12 +150,12 @@ class ResidualBlock(nn.Module):
             x, mask, train
         )
         h = nn.relu(h)
-        h = SubMConv(self.features, name="conv1")(h, subm_nbr)
+        h = refresh(SubMConv(self.features, name="conv1")(h, subm_nbr))
         h = MaskedBatchNorm(self.features, eps=self.bn_eps, momentum=self.bn_momentum, name="bn2")(
             h, mask, train
         )
         h = nn.relu(h)
-        h = SubMConv(self.features, name="conv2")(h, subm_nbr)
+        h = refresh(SubMConv(self.features, name="conv2")(h, subm_nbr))
         return h + identity
 
 
@@ -166,39 +175,41 @@ class UBlock(nn.Module):
     block: str = "residual"  # residual | vgg | asym (sparse_unet3d.py:229-237)
 
     @nn.compact
-    def __call__(self, x, plan: UNetPlan, train: bool):
+    def __call__(self, x, plan: UNetPlan, train: bool, refreshes=None):
         lp = plan.levels[self.depth]
         mask = lp.level.valid
         planes = self.nPlanes[0]
         base = {"residual": ResidualBlock, "vgg": VGGBlock, "asym": AsymResidualBlock}[self.block]
-        Block = nn.remat(base, static_argnums=(4,)) if self.remat else base
+        Block = nn.remat(base, static_argnums=(4, 5)) if self.remat else base
+        rf = refreshes[self.depth] if refreshes is not None else _id
 
         for i in range(self.block_reps):
-            x = Block(planes, name=f"block{i}")(x, lp.subm_nbr, mask, train)
+            x = Block(planes, name=f"block{i}")(x, lp.subm_nbr, mask, train, rf)
 
         if len(self.nPlanes) > 1:
             nxt = plan.levels[self.depth + 1]
             nxt_mask = nxt.level.valid
+            rf_next = refreshes[self.depth + 1] if refreshes is not None else _id
             identity = x
             # down: BN→ReLU→SparseConv3d(k2,s2)
             h = MaskedBatchNorm(planes, name="down_bn")(x, mask, train)
             h = nn.relu(h)
-            h = DownConv(self.nPlanes[1], name="down_conv")(
+            h = rf_next(DownConv(self.nPlanes[1], name="down_conv")(
                 h, lp.down_nbr, lp.parent, lp.child_offset
-            )
+            ))
             h = UBlock(
                 self.nPlanes[1:], self.block_reps, self.depth + 1, self.remat,
                 self.block, name="u"
-            )(h, plan, train)
+            )(h, plan, train, refreshes)
             # up: BN→ReLU→SparseInverseConv3d sharing the down table
             h = MaskedBatchNorm(self.nPlanes[1], name="up_bn")(h, nxt_mask, train)
             h = nn.relu(h)
-            h = InverseConv(planes, name="up_conv")(
+            h = rf(InverseConv(planes, name="up_conv")(
                 h, lp.parent, lp.child_offset, lp.down_nbr
-            )
+            ))
             x = jnp.concatenate([identity, h], axis=-1)
             for i in range(self.block_reps):
-                x = Block(planes, name=f"tail{i}")(x, lp.subm_nbr, mask, train)
+                x = Block(planes, name=f"tail{i}")(x, lp.subm_nbr, mask, train, rf)
         return x
 
 
@@ -213,15 +224,18 @@ class SparseUNet(nn.Module):
     block: str = "residual"
 
     @nn.compact
-    def __call__(self, voxel_feats, plan: UNetPlan, train: bool):
+    def __call__(self, voxel_feats, plan: UNetPlan, train: bool, refreshes=None):
         planes = [self.media * (i + 1) for i in range(self.blocks)]
         assert len(plan.levels) == self.blocks, (
             f"UNetPlan has {len(plan.levels)} levels but model expects {self.blocks}"
         )
+        if refreshes is not None:
+            assert not self.remat, "halo refresh closures cannot cross a remat boundary"
+        rf0 = refreshes[0] if refreshes is not None else _id
         lp0 = plan.levels[0]
-        x = SubMConv(self.media, name="input_conv")(voxel_feats, lp0.subm_nbr)
+        x = rf0(SubMConv(self.media, name="input_conv")(voxel_feats, lp0.subm_nbr))
         x = UBlock(planes, self.block_reps, 0, self.remat, self.block, name="unet")(
-            x, plan, train
+            x, plan, train, refreshes
         )
         x = MaskedBatchNorm(self.media, name="output_bn")(x, lp0.level.valid, train)
         return nn.relu(x)

@@ -34,7 +34,9 @@ __all__ = [
     "UNetPlan",
     "build_subm_table",
     "build_downsample",
+    "link_levels",
     "build_unet_plan",
+    "build_unet_plan_from_levels",
 ]
 
 
@@ -178,6 +180,71 @@ def build_downsample(
     )
     down_nbr = down_flat[: 8 * max_voxels_out].reshape(8, max_voxels_out)
     return coarse, down_nbr, parent, child_offset
+
+
+def link_levels(
+    fine: VoxelLevel,
+    coarse: VoxelLevel,
+    spatial_shape: Sequence[int],
+    max_batch: int,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """k2s2 link tables between two *given* levels (the spatially-sharded
+    path supplies both level sets — coarse halo voxels cannot be derived
+    locally from a width-1 fine halo — instead of deriving the coarse set
+    like :func:`build_downsample`).  Returns ``(down_nbr, parent,
+    child_offset)`` with the same conventions as ``build_downsample``.
+    """
+    coarse_shape = tuple((int(s) + 1) // 2 for s in spatial_shape)
+    max_voxels_out = coarse.keys.shape[0]
+    cc = fine.coords.at[:, 1:].set(fine.coords[:, 1:] // 2)
+    ckeys = hashgrid.pack_coords(cc, coarse_shape, max_batch, valid=fine.valid)
+    ppos, pfound = hashgrid.lookup(coarse.keys, ckeys)
+    parent = jnp.where(pfound & fine.valid, ppos, max_voxels_out).astype(jnp.int32)
+    rel = fine.coords[:, 1:] % 2
+    child_offset = ((rel[:, 0] * 2 + rel[:, 1]) * 2 + rel[:, 2]).astype(jnp.int32)
+
+    m_fine = fine.coords.shape[0]
+    flat_idx = jnp.where(
+        parent >= max_voxels_out, 8 * max_voxels_out, child_offset * max_voxels_out + parent
+    )
+    down_flat = (
+        jnp.full((8 * max_voxels_out + 1,), m_fine, jnp.int32)
+        .at[flat_idx]
+        .set(jnp.arange(m_fine, dtype=jnp.int32), mode="drop")
+    )
+    down_nbr = down_flat[: 8 * max_voxels_out].reshape(8, max_voxels_out)
+    return down_nbr, parent, child_offset
+
+
+def build_unet_plan_from_levels(
+    levels: Sequence[VoxelLevel],
+    spatial_shape: Sequence[int],
+    max_batch: int,
+) -> UNetPlan:
+    """Like :func:`build_unet_plan` but with every level's active set given
+    (used by the spatial-sharding path, where each level includes halo rows
+    supplied by the host partitioner)."""
+    plans = []
+    shape = tuple(int(s) for s in spatial_shape)
+    for i, level in enumerate(levels):
+        subm = build_subm_table(level, shape, max_batch)
+        if i + 1 < len(levels):
+            down_nbr, parent, child_offset = link_levels(
+                level, levels[i + 1], shape, max_batch
+            )
+        else:
+            down_nbr, parent, child_offset = None, None, None
+        plans.append(
+            LevelPlan(
+                level=level,
+                subm_nbr=subm,
+                down_nbr=down_nbr,
+                parent=parent,
+                child_offset=child_offset,
+            )
+        )
+        shape = tuple((s + 1) // 2 for s in shape)
+    return UNetPlan(levels=tuple(plans))
 
 
 def build_unet_plan(
