@@ -20,7 +20,10 @@ import numpy as np
 
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
 
-BATCH = int(os.environ.get("BENCH_BATCH", "10"))
+# batch 6: the largest whole multiple of the ~160k-pt room scenes that fits
+# fwd+bwd on a 16 GB v5e (the 24 GB TITAN baseline ran batch 10; scenes/s and
+# Mpts/s are batch-normalized so the comparison stands)
+BATCH = int(os.environ.get("BENCH_BATCH", "6"))
 NUM_SCENES = max(2 * BATCH, 8)
 BASELINE_TRAIN_SCENES_PER_SEC = 1201 * 1 / (7.5 * 60) * 1.0  # 2.67
 

@@ -32,7 +32,13 @@ import numpy as np
 from ..core.containers import SceneBatch
 from ..ops.hashgrid import PAD_KEY
 
-__all__ = ["HaloLevel", "SpatialBatch", "build_spatial_batch", "spatial_forward"]
+__all__ = [
+    "HaloLevel",
+    "SpatialBatch",
+    "build_spatial_batch",
+    "make_spatial_forward",
+    "spatial_forward",
+]
 
 
 class HaloLevel(NamedTuple):
@@ -251,11 +257,11 @@ def _make_refresh(lv, axis: str, n_shards: int):
     return refresh
 
 
-def spatial_forward(model, params, batch_stats, sb: SpatialBatch, mesh, axis: str = "space"):
-    """Run an eval-mode forward of ``model`` with voxels/points sharded over
-    ``mesh[axis]``.  Returns the output dict with point-level outputs
-    concatenated over shards and superpoint/edge outputs replicated.
-    """
+def make_spatial_forward(model, mesh, spatial_shape, max_batch: int, axis: str = "space"):
+    """Build the jitted sharded eval forward ``fn(params, batch_stats,
+    levels_stacked, batches_stacked) -> outs``.  Reuse the returned callable
+    across calls (its jit cache keys on array shapes) — re-wrapping per call
+    would recompile every time."""
     import jax
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
@@ -271,8 +277,7 @@ def spatial_forward(model, params, batch_stats, sb: SpatialBatch, mesh, axis: st
     from ..ops.segment import segment_count, segment_sum
 
     n_shards = mesh.shape[axis]
-    shape = sb.spatial_shape
-    max_batch = sb.max_batch
+    shape = tuple(int(s) for s in spatial_shape)
 
     def fwd(params, batch_stats, levels_st, batch_st):
         levels = jax.tree_util.tree_map(lambda a: a[0], levels_st)
@@ -314,13 +319,31 @@ def spatial_forward(model, params, batch_stats, sb: SpatialBatch, mesh, axis: st
     ]
     out_specs = {k: P(axis) if k in point_keys else P() for k in out_keys}
 
-    f = shard_map(
-        fwd,
-        mesh=mesh,
-        in_specs=(P(), P(), P(axis), P(axis)),
-        out_specs=out_specs,
-        check_rep=False,
-    )
+    try:
+        f = shard_map(
+            fwd,
+            mesh=mesh,
+            in_specs=(P(), P(), P(axis), P(axis)),
+            out_specs=out_specs,
+            check_vma=False,  # replicated outputs come from explicit psums
+        )
+    except TypeError:  # older jax: check_rep
+        f = shard_map(
+            fwd,
+            mesh=mesh,
+            in_specs=(P(), P(), P(axis), P(axis)),
+            out_specs=out_specs,
+            check_rep=False,
+        )
+    return jax.jit(f)
+
+
+def spatial_forward(model, params, batch_stats, sb: SpatialBatch, mesh, axis: str = "space"):
+    """One-shot convenience around :func:`make_spatial_forward`."""
+    import jax
+    import jax.numpy as jnp
+
+    f = make_spatial_forward(model, mesh, sb.spatial_shape, sb.max_batch, axis=axis)
     levels_dev = jax.tree_util.tree_map(jnp.asarray, sb.levels)
     batches_dev = jax.tree_util.tree_map(jnp.asarray, sb.batches)
-    return jax.jit(f)(params, batch_stats, levels_dev, batches_dev)
+    return f(params, batch_stats, levels_dev, batches_dev)

@@ -98,6 +98,30 @@ def load_checkpoint(
     return new_state, payload.get("meta", {})
 
 
+def save_weak_sidecar(ckpt_path: str, rank: int, weak_store: WeakLabelStore):
+    """Non-main hosts persist their scene shard's weak-label state next to
+    the main checkpoint (each host trains a disjoint scene shard in
+    multi-host mode, so the curriculum state is per-host)."""
+    with _delayed_interrupt():
+        ckptr = ocp.PyTreeCheckpointer()
+        ckptr.save(
+            os.path.abspath(f"{ckpt_path}_weak{rank}"),
+            {"weak": weak_store.state_to_arrays()},
+            force=True,
+        )
+
+
+def load_weak_sidecar(ckpt_path: str, rank: int, weak_store: WeakLabelStore):
+    ckptr = ocp.PyTreeCheckpointer()
+    payload = ckptr.restore(os.path.abspath(f"{ckpt_path}_weak{rank}"))
+    weak_store.state_from_arrays(
+        {
+            name: {k: np.asarray(v) for k, v in d.items()}
+            for name, d in payload["weak"].items()
+        }
+    )
+
+
 def latest_checkpoint(log_dir: str) -> Optional[str]:
     """Find the newest ``epoch_XXXXX_<stage>`` checkpoint directory
     (reference globbing semantics, ``train_scannetv2.py:673-693``)."""
@@ -106,7 +130,7 @@ def latest_checkpoint(log_dir: str) -> Optional[str]:
     cands = [
         os.path.join(log_dir, d)
         for d in os.listdir(log_dir)
-        if re.match(r"epoch_\d{5}_", d)
+        if re.match(r"epoch_\d{5}_", d) and not re.search(r"_weak\d+$", d)
     ]
     if not cands:
         return None
