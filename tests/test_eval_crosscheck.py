@@ -27,9 +27,14 @@ CLASS_LABELS = ["chair", "table", "sofa"]
 def ref_modules():
     if not os.path.isdir(os.path.join(REF, "evaluation", "basic")):
         pytest.skip("reference checkout unavailable")
-    # removed numpy aliases used by the 2021-era reference
-    np.float = float  # noqa: NPY001
-    np.bool = bool  # noqa: NPY001
+    # removed numpy aliases used by the 2021-era reference.  Use numpy
+    # scalar types, NOT python builtins: `np.bool = bool` breaks
+    # numpy.testing internals in tests that run later in the session
+    # (assert_allclose does `np.bool(...).all()`).  Restore the originals
+    # afterwards (numpy 2.x has a real np.bool again).
+    saved = {a: getattr(np, a, None) for a in ("float", "bool")}
+    np.float = np.float64  # noqa: NPY001
+    np.bool = np.bool_  # noqa: NPY001
     if "utils" not in sys.modules:
         stub = types.ModuleType("utils")
         stub.table = lambda *a, **k: ""
@@ -46,7 +51,13 @@ def ref_modules():
     )
     s3dis_mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(s3dis_mod)
-    return ins_mod.InstanceEvaluator, s3dis_mod.S3DIS_Instance_evaluator
+    yield ins_mod.InstanceEvaluator, s3dis_mod.S3DIS_Instance_evaluator
+    for alias, orig in saved.items():  # un-shim numpy for the session
+        if orig is None:
+            if hasattr(np, alias):
+                delattr(np, alias)
+        else:
+            setattr(np, alias, orig)
 
 
 def _make_fixture(seed, n_points=4000, n_inst=10, class_ids=CLASS_IDS):
