@@ -109,7 +109,16 @@ def build_subm_table(
     Output sites are exactly the active sites (submanifold semantics —
     spconv's ``SubMConv3d``); offset k's entry for output row m is the row of
     the voxel at ``coords[m] + offsets[k]`` or ``M`` if inactive.
+
+    Each negative-half offset's queries are the (sorted) level keys plus a
+    constant packed delta — themselves sorted — so positions come from the
+    O(M) merge-path lookup instead of a searchsorted co-sort (which paid
+    ~14·M log² compare rounds per level per step).  Out-of-range shifts can
+    alias other rows' keys (coordinate wraparound); a per-axis bounds mask
+    kills those hits.
     """
+    from .merge_lookup import merge_lookup
+
     offsets_np = subm_offsets(kernel_size)  # [K, 3]
     k = offsets_np.shape[0]
     m = level.coords.shape[0]
@@ -118,13 +127,23 @@ def build_subm_table(
 
     # Query only the negative half — the positive half is the INVERSE
     # matching (m's neighbor at +d is j  ⟺  j's at -d is m), recovered by an
-    # int32 scatter, which is far cheaper than doubling the co-sort size.
-    offsets = jnp.asarray(offsets_np[:half])
-    q = jnp.broadcast_to(level.coords[None], (half, m, 4))
-    q = q.at[:, :, 1:].add(offsets[:, None, :])
-    q = q.reshape(half * m, 4)
-    valid = jnp.broadcast_to(level.valid[None, :], (half, m)).reshape(-1)
-    neg = _query_table(level, q, valid, spatial_shape, max_batch).reshape(half, m)
+    # int32 scatter.  All negative-half packed deltas are < 0 (x-major key
+    # order), so PAD_KEY rows stay maximal and the shifted key array stays
+    # sorted.
+    strides = np.asarray(hashgrid.coord_strides(spatial_shape, max_batch)[1:], np.int64)
+    shape_arr = jnp.asarray([int(s) for s in spatial_shape], jnp.int32)
+    neg_rows = []
+    for i in range(half):
+        off = offsets_np[i]
+        delta = int((strides * off.astype(np.int64)).sum())
+        assert delta < 0, (off, delta)
+        qk = level.keys + jnp.int32(delta)
+        pos, found = merge_lookup(level.keys, qk)
+        shifted = level.coords[:, 1:] + jnp.asarray(off, jnp.int32)[None, :]
+        in_range = jnp.all((shifted >= 0) & (shifted < shape_arr[None, :]), axis=1)
+        ok = found & in_range & level.valid & (level.keys != PAD_KEY)
+        neg_rows.append(jnp.where(ok, pos, m).astype(jnp.int32))
+    neg = jnp.stack(neg_rows)
 
     rows = jnp.arange(m, dtype=jnp.int32)
 
@@ -155,13 +174,19 @@ def build_downsample(
     coarse_shape = tuple((int(s) + 1) // 2 for s in spatial_shape)
     cc = fine.coords.at[:, 1:].set(fine.coords[:, 1:] // 2)
     ckeys = hashgrid.pack_coords(cc, coarse_shape, max_batch, valid=fine.valid)
-    uniq = jnp.unique(ckeys, size=max_voxels_out, fill_value=PAD_KEY)
+    # the unique's own sort already knows every row's slot: return_inverse
+    # IS the parent map (the previous separate searchsorted paid another
+    # (M_fine + M_coarse) co-sort per level per step)
+    uniq, inv = jnp.unique(
+        ckeys, size=max_voxels_out, fill_value=PAD_KEY, return_inverse=True
+    )
     cvalid = uniq != PAD_KEY
     ccoords = hashgrid.unpack_coords(jnp.where(cvalid, uniq, 0), coarse_shape, max_batch)
     coarse = VoxelLevel(keys=uniq, coords=ccoords, valid=cvalid)
 
-    # each fine voxel's coarse parent row + its k2s2 offset id (one lookup)
-    ppos, pfound = hashgrid.lookup(coarse.keys, ckeys)
+    ppos = jnp.minimum(inv.astype(jnp.int32), max_voxels_out - 1)
+    # re-check the hit: PAD rows and capacity-overflow truncation must drop
+    pfound = uniq[ppos] == ckeys
     parent = jnp.where(pfound & fine.valid, ppos, max_voxels_out).astype(jnp.int32)
     rel = fine.coords[:, 1:] % 2
     child_offset = ((rel[:, 0] * 2 + rel[:, 1]) * 2 + rel[:, 2]).astype(jnp.int32)

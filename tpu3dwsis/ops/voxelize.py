@@ -68,11 +68,26 @@ def voxelize_coords(
     bucket so this does not happen in practice).
     """
     keys = hashgrid.pack_coords(coords, spatial_shape, max_batch, valid=valid)
-    uniq = jnp.unique(keys, size=max_voxels, fill_value=PAD_KEY)
+    # ONE argsort yields both the unique table and the point->voxel map
+    # (first-occurrence compaction + inverse scatter) — the previous
+    # unique(sort) + searchsorted(method='sort') formulation cost two more
+    # full co-sorts per step at honest scale (~4M extra sorted elements).
+    n = keys.shape[0]
+    order = jnp.argsort(keys)
+    ks = keys[order]
+    first = jnp.concatenate([jnp.ones((1,), bool), ks[1:] != ks[:-1]])
+    first = first & (ks != PAD_KEY)
+    idx = jnp.cumsum(first.astype(jnp.int32)) - 1  # voxel row per sorted point
+    in_cap = idx < max_voxels
+    uniq = (
+        jnp.full((max_voxels + 1,), PAD_KEY, jnp.int32)
+        .at[jnp.where(first & in_cap, idx, max_voxels)]
+        .set(ks, mode="drop")[:max_voxels]
+    )
+    p2v_s = jnp.where((ks != PAD_KEY) & in_cap, idx, max_voxels).astype(jnp.int32)
+    p2v = jnp.zeros((n,), jnp.int32).at[order].set(p2v_s)
     vvalid = uniq != PAD_KEY
     num = jnp.sum(vvalid.astype(jnp.int32))
-    pos, found = hashgrid.lookup(uniq, keys)
-    p2v = jnp.where(found, pos, max_voxels).astype(jnp.int32)
     vcoords = hashgrid.unpack_coords(jnp.where(vvalid, uniq, 0), spatial_shape, max_batch)
     return Voxelization(uniq, vcoords, vvalid, num, p2v)
 
