@@ -1,0 +1,121 @@
+"""Kernel v2 (windowed-DMA subm conv) vs the XLA oracle, interpret mode.
+
+Covers: misses, window-exceeding far rows (plane jumps / scene boundaries),
+C=32 (p=4) and C=64 (p=2), forward and the fused dx+dW backward.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tpu3dwsis.ops.pallas_spconv2 import subm_conv_bwd, subm_conv_fwd
+from tpu3dwsis.ops.sparse_conv import gather_conv
+
+
+def make_tables(m, k, rng, plane=3000, miss_rate=0.35):
+    """Monotone-ish neighbor tables with near-diagonal and plane-shift
+    offsets plus occasional large jumps (window busters)."""
+    nbr = np.empty((k, m), np.int32)
+    base = np.arange(m, dtype=np.int64)
+    offs = [0, 1, -1, 57, -57, plane, -plane]
+    for kk in range(k):
+        v = base + offs[kk % len(offs)] + rng.integers(-4, 5, m)
+        # inject a few big jumps to exercise the far path
+        jump_at = rng.integers(0, m, 5)
+        for j in jump_at:
+            v[j] = rng.integers(0, m)
+        miss = rng.random(m) < miss_rate
+        v = np.where((v < 0) | (v >= m) | miss, m, v)
+        # per-offset table must be the positions of a sorted-key match:
+        # sort the hit values to restore monotonicity, keep misses in place
+        hit_vals = np.sort(v[v < m])
+        out = np.full(m, m, np.int32)
+        out[np.sort(np.flatnonzero(v < m))] = hit_vals
+        nbr[kk] = out
+    return jnp.asarray(nbr)
+
+
+@pytest.mark.parametrize("c,tile,window", [(32, 256, 1024), (64, 128, 512)])
+def test_fwd_matches_oracle(c, tile, window):
+    rng = np.random.default_rng(0)
+    m, k = 4096, 27
+    nbr = make_tables(m, k, rng)
+    feats = jnp.asarray(rng.standard_normal((m, c)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((k, c, c)).astype(np.float32) * 0.2)
+    ref = gather_conv(feats, nbr, w)
+    out = subm_conv_fwd(feats, nbr, w, tile=tile, window=window, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def real_table(m, rng, shape=(64, 64, 64)):
+    """A genuine rulebook table (the shared-gather backward symmetry
+    dx = Σ gather(g, nbr[k]) @ W[K-1-k]^T requires nbr[K-1-k] to invert
+    nbr[k] — true of real submanifold tables, not of random ones)."""
+    from tpu3dwsis.ops import hashgrid
+    from tpu3dwsis.ops.rulebook import VoxelLevel, build_subm_table
+
+    pts = rng.integers(0, shape[0], size=(m * 2, 3))
+    coords = np.concatenate([np.zeros((len(pts), 1), np.int64), pts], axis=1)
+    keys = np.unique(
+        (coords[:, 1] * shape[1] * shape[2] + coords[:, 2] * shape[2] + coords[:, 3])
+        .astype(np.int32)
+    )[: m - 1]
+    keys_pad = np.full(m, hashgrid.PAD_KEY, np.int32)
+    keys_pad[: len(keys)] = np.sort(keys)
+    valid = keys_pad != hashgrid.PAD_KEY
+    cc = np.asarray(
+        hashgrid.unpack_coords(jnp.where(valid, keys_pad, 0), shape, 1)
+    )
+    level = VoxelLevel(jnp.asarray(keys_pad), jnp.asarray(cc), jnp.asarray(valid))
+    return build_subm_table(level, shape, 1)
+
+
+def test_bwd_matches_autodiff():
+    rng = np.random.default_rng(1)
+    m, c = 2048, 32
+    nbr = real_table(m, rng)
+    feats = jnp.asarray(rng.standard_normal((m, c)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((27, c, c)).astype(np.float32) * 0.2)
+    g = jnp.asarray(rng.standard_normal((m, c)).astype(np.float32))
+
+    def loss(feats, w):
+        return jnp.sum(gather_conv(feats, nbr, w) * g)
+
+    dx_ref, dw_ref = jax.grad(loss, argnums=(0, 1))(feats, w)
+    dx, dw = subm_conv_bwd(feats, g, nbr, w, tile=256, window=1024, interpret=True)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_ref), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dw), np.asarray(dw_ref), rtol=2e-4, atol=2e-4)
+
+
+def test_bwd_rect_channels():
+    """64→32 tail-conv shape: Cin != Cout through the fused backward."""
+    rng = np.random.default_rng(3)
+    m, cin, cout = 1024, 64, 32
+    nbr = real_table(m, rng, shape=(32, 32, 32))
+    feats = jnp.asarray(rng.standard_normal((m, cin)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((27, cin, cout)).astype(np.float32) * 0.2)
+    g = jnp.asarray(rng.standard_normal((m, cout)).astype(np.float32))
+
+    def loss(feats, w):
+        return jnp.sum(gather_conv(feats, nbr, w) * g)
+
+    dx_ref, dw_ref = jax.grad(loss, argnums=(0, 1))(feats, w)
+    dx, dw = subm_conv_bwd(feats, g, nbr, w, tile=128, window=512, interpret=True)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_ref), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dw), np.asarray(dw_ref), rtol=2e-4, atol=2e-4)
+
+
+def test_fwd_bf16_small_window_forces_far_path():
+    """A tiny window forces many rows through the far correction — exactness
+    must not depend on the window covering the span."""
+    rng = np.random.default_rng(2)
+    m, k, c = 1024, 27, 32
+    nbr = make_tables(m, k, rng, plane=400, miss_rate=0.2)
+    feats = jnp.asarray(rng.standard_normal((m, c)).astype(np.float32)).astype(jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((k, c, c)).astype(np.float32) * 0.2).astype(jnp.bfloat16)
+    ref = gather_conv(feats, nbr, w)
+    out = subm_conv_fwd(feats, nbr, w, tile=128, window=256, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), rtol=3e-2, atol=3e-2
+    )

@@ -1,0 +1,370 @@
+"""Pallas TPU submanifold-conv kernel v2: windowed gather with overlapped DMA.
+
+Why: XLA's row gather runs at ~12-15 ns/row on this hardware regardless of
+row width — the 27-offset gather chain dominates the whole train step at
+real-scan scale.  This kernel exploits the *monotone* rulebook structure
+(sorted keys ⇒ for each offset, neighbor positions are non-decreasing in the
+output row): a tile of T output rows reads a ~T-row contiguous window of the
+input per offset, which moves at full HBM bandwidth as ONE DMA instead of T
+row fetches.
+
+v2 over the round-1 kernel (``pallas_spconv.py``):
+
+* **all 27 offsets inside one kernel** with the fp32 accumulator resident in
+  VMEM (one output write per tile, not per offset);
+* **double-buffered windows**: the offset-(k+1) window DMA is issued before
+  computing offset k, so DMA latency (which serialized v1 at ~1 µs per
+  (tile, offset)) overlaps the one-hot gather matmul;
+* **exact everywhere**: rows whose neighbor falls outside the window (rare:
+  plane-size discontinuities, scene boundaries) are fixed up by a compacted
+  XLA gather epilogue — no silent drops, no host-side fallback decision;
+* **pos tables derived from the existing plan** (cummax-repaired
+  ``subm_nbr``) — no extra lookups.
+
+The local gather is a one-hot matmul on the MXU over the packed window
+(``p = 128/C`` rows per 128-lane group), as in v1 — Mosaic's
+``tpu.dynamic_gather`` still cannot index beyond the first tile here.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = [
+    "supported",
+    "derive_pos",
+    "subm_conv_fwd",
+    "subm_conv_bwd",
+]
+
+
+def supported(channels: int, m: int, tile: int) -> bool:
+    return 128 % channels == 0 and m % tile == 0
+
+
+def derive_pos(nbr: jax.Array, m: int):
+    """(pos, ok) from a miss-folded neighbor table: ``ok`` = hit, ``pos`` =
+    monotone positions (misses repaired with a running max so windows stay
+    tight)."""
+    ok = nbr < m
+    pos = jax.lax.cummax(jnp.where(ok, nbr, 0), axis=1)
+    return pos.astype(jnp.int32), ok
+
+
+def _plan_windows(pos, ok, tile: int, window: int, p: int, mp: int):
+    """Window starts ``lo [K, nt]`` (aligned so ``lo/p`` is a multiple of the
+    16-sublane tile) and the ``far`` mask of rows the windows miss."""
+    k, m = pos.shape
+    nt = m // tile
+    q = 16 * p
+    lo = pos[:, ::tile]
+    lo = (lo // q) * q
+    hi = ((mp - window) // q) * q
+    lo = jnp.clip(lo, 0, max(hi, 0)).astype(jnp.int32)
+    local = pos - jnp.repeat(lo, tile, axis=1)
+    far = ok & (local >= window)
+    return lo, far
+
+
+def _fwd_kernel(c, lo_ref, pos_ref, ok_ref, xp_hbm, w_ref, out_ref, acc_ref, win_ref, sem):
+    t = pl.program_id(0)
+    k_total = w_ref.shape[0]
+    tile = pos_ref.shape[1]
+    wp = win_ref.shape[1]  # packed window rows
+    p = 128 // c
+
+    def dma(k, buf):
+        lo = lo_ref[k, t]
+        lo_p = pl.multiple_of(lo // p, 16)
+        return pltpu.make_async_copy(
+            xp_hbm.at[pl.ds(lo_p, wp), :], win_ref.at[buf], sem.at[buf]
+        )
+
+    dma(0, 0).start()
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    def body(k, _):
+        buf = jax.lax.rem(k, 2)
+        dma(k, buf).wait()
+
+        @pl.when(k + 1 < k_total)
+        def _():
+            dma(k + 1, 1 - buf).start()
+
+        local = pos_ref[k, :] - lo_ref[k, t]  # [T]
+        ok = (ok_ref[k, :] > 0) & (local >= 0) & (local < wp * p)
+        sel_packed = jnp.where(ok, local // p, -1)  # -1 never matches
+        onehot = (
+            jax.lax.broadcasted_iota(jnp.int32, (tile, wp), 1)
+            == jnp.broadcast_to(sel_packed.reshape(tile, 1), (tile, wp))
+        )
+        g128 = jax.lax.dot_general(
+            onehot.astype(win_ref.dtype),
+            win_ref[buf],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [T, 128]
+        sub = jnp.where(ok, local % p, -1)
+        g = jnp.zeros((tile, c), jnp.float32)
+        for j in range(p):
+            pick = (sub == j).astype(jnp.float32)
+            g = g + jnp.broadcast_to(pick.reshape(tile, 1), (tile, c)) * g128[:, j * c : (j + 1) * c]
+        acc_ref[:] += jax.lax.dot_general(
+            g.astype(w_ref.dtype),
+            w_ref[k],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return ()
+
+    jax.lax.fori_loop(0, k_total, body, ())
+    out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+
+def _pack(feats: jax.Array, p: int):
+    """[M, C] -> [ceil(M/p) (+1 slack tile), p*C] row-packed for 128-lane DMAs."""
+    m, c = feats.shape
+    mp = -(-m // p) * p
+    xp = jnp.zeros((mp, c), feats.dtype).at[:m].set(feats)
+    return xp.reshape(mp // p, p * c), mp
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "window", "interpret"))
+def _fwd_call(feats, pos, ok, weights, lo, tile, window, interpret):
+    k, m = pos.shape
+    c, d = weights.shape[1], weights.shape[2]
+    p = 128 // c
+    nt = m // tile
+    xp, mp = _pack(feats, p)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # lo
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((k, tile), lambda t, lo_ref: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, tile), lambda t, lo_ref: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),  # packed feats stay in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # weights fully resident
+        ],
+        out_specs=pl.BlockSpec((tile, d), lambda t, lo_ref: (t, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((tile, d), jnp.float32),
+            pltpu.VMEM((2, window // p, p * c), feats.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(_fwd_kernel, c)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m, d), feats.dtype),
+        interpret=interpret,
+    )(lo, pos, ok.astype(jnp.int32), xp, weights)
+
+
+def _far_correction_fwd(out, feats, nbr, weights, far):
+    """Add the contributions of rows whose neighbor fell outside the window:
+    compact the (rare) far (k, m) pairs to a fixed-size list, gather, matmul
+    per-row, scatter-add.  Capacity M//8 is ~50x any observed span overflow;
+    overflowing it would drop contributions, so keep it generous."""
+    k, m = nbr.shape
+    cap = max(4096, m // 32)
+    flat = far.reshape(-1)
+    (idx,) = jnp.nonzero(flat, size=cap, fill_value=k * m)
+    kk = jnp.minimum(idx // m, k - 1)
+    mm = jnp.where(idx < k * m, idx % m, m)  # m = dropped row
+    src = jnp.where(idx < k * m, nbr[kk, jnp.minimum(mm, m - 1)], feats.shape[0] - 1)
+    g = feats[src].astype(jnp.float32)  # [cap, C]
+    c, d = weights.shape[1], weights.shape[2]
+    wsel = weights.reshape(k, c * d)[kk].astype(jnp.float32).reshape(cap, c, d)
+    contrib = jnp.einsum("fc,fcd->fd", g, wsel)
+    live = (idx < k * m)[:, None]
+    out_f = out.astype(jnp.float32)
+    out_f = jnp.concatenate([out_f, jnp.zeros((1, out.shape[1]), jnp.float32)])
+    out_f = out_f.at[mm].add(jnp.where(live, contrib, 0.0))
+    return out_f[:m].astype(out.dtype)
+
+
+def subm_conv_fwd(
+    feats: jax.Array,  # [M, C]
+    nbr: jax.Array,  # [K, M] int32, M = miss
+    weights: jax.Array,  # [K, C, D]
+    tile: int = 256,
+    window: int = 2048,
+    interpret: bool = False,
+) -> jax.Array:
+    """Windowed-DMA submanifold conv forward (exact; see module docstring)."""
+    k, m = nbr.shape
+    c = feats.shape[1]
+    p = 128 // c
+    pos, ok = derive_pos(nbr, m)
+    mp = -(-m // p) * p
+    lo, far = _plan_windows(pos, ok, tile, window, p, mp)
+    out = _fwd_call(feats, pos, ok & ~far, weights.astype(feats.dtype), lo, tile, window, interpret)
+    return _far_correction_fwd(out, feats, nbr, weights.astype(feats.dtype), far)
+
+
+# ---------------------------------------------------------------- backward
+def _bwd_kernel(c, lo_ref, pos_ref, ok_ref, gp_hbm, wt_ref, x_ref, dx_ref, dw_ref,
+                acc_ref, win_ref, sem):
+    """Shared-gather backward: one window gather of the upstream grad per
+    offset serves BOTH dx (gk @ W^T[flip k]) and dW[flip k] (x_tile^T @ gk).
+    ``wt_ref`` is the pre-flipped, pre-transposed weight stack [K, D, C]
+    (row k = W[K-1-k]^T) and ``dw_ref`` accumulates in the same flipped
+    order; the XLA wrapper un-flips."""
+    t = pl.program_id(0)
+    k_total = wt_ref.shape[0]
+    tile = pos_ref.shape[1]
+    wp = win_ref.shape[1]
+    d = wt_ref.shape[1]
+    p = 128 // d  # gp packing follows grad channels D
+
+    @pl.when(t == 0)
+    def _():
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+
+    def dma(k, buf):
+        lo = lo_ref[k, t]
+        lo_p = pl.multiple_of(lo // p, 16)
+        return pltpu.make_async_copy(
+            gp_hbm.at[pl.ds(lo_p, wp), :], win_ref.at[buf], sem.at[buf]
+        )
+
+    dma(0, 0).start()
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    xf = x_ref[:].astype(jnp.float32)
+
+    def body(k, _):
+        buf = jax.lax.rem(k, 2)
+        dma(k, buf).wait()
+
+        @pl.when(k + 1 < k_total)
+        def _():
+            dma(k + 1, 1 - buf).start()
+
+        local = pos_ref[k, :] - lo_ref[k, t]
+        ok = (ok_ref[k, :] > 0) & (local >= 0) & (local < wp * p)
+        sel_packed = jnp.where(ok, local // p, -1)
+        onehot = (
+            jax.lax.broadcasted_iota(jnp.int32, (tile, wp), 1)
+            == jnp.broadcast_to(sel_packed.reshape(tile, 1), (tile, wp))
+        )
+        g128 = jax.lax.dot_general(
+            onehot.astype(win_ref.dtype),
+            win_ref[buf],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        sub = jnp.where(ok, local % p, -1)
+        gk = jnp.zeros((tile, d), jnp.float32)
+        for j in range(p):
+            pick = (sub == j).astype(jnp.float32)
+            gk = gk + jnp.broadcast_to(pick.reshape(tile, 1), (tile, d)) * g128[:, j * d : (j + 1) * d]
+        acc_ref[:] += jax.lax.dot_general(
+            gk.astype(wt_ref.dtype),
+            wt_ref[k],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [T, C]
+        # dW[k] += x_tile^T @ gk : [C, D]
+        dw_ref[k] += jax.lax.dot_general(
+            xf, gk, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return ()
+
+    jax.lax.fori_loop(0, k_total, body, ())
+    dx_ref[:] = acc_ref[:].astype(dx_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "window", "interpret"))
+def _bwd_call(x, g, pos, ok, w_flipT, lo, tile, window, interpret):
+    k, m = pos.shape
+    c = x.shape[1]
+    d = g.shape[1]
+    p = 128 // d
+    nt = m // tile
+    gp, mp = _pack(g, p)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((k, tile), lambda t, lo_ref: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, tile), lambda t, lo_ref: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),  # packed grad in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # flipped-transposed weights
+            pl.BlockSpec((tile, c), lambda t, lo_ref: (t, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile, c), lambda t, lo_ref: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, c, d), lambda t, lo_ref: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tile, c), jnp.float32),
+            pltpu.VMEM((2, window // p, p * d), g.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(_bwd_kernel, c)  # noqa: c unused in kernel body
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((m, c), x.dtype),
+            jax.ShapeDtypeStruct((k, c, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(lo, pos, ok.astype(jnp.int32), gp, w_flipT, x)
+
+
+def subm_conv_bwd(
+    feats: jax.Array,  # [M, C] saved forward input
+    g: jax.Array,  # [M, D] upstream grad (D == C)
+    nbr: jax.Array,  # [K, M]
+    weights: jax.Array,  # [K, C, D]
+    tile: int = 256,
+    window: int = 2048,
+    interpret: bool = False,
+):
+    """(dx, dW) via the shared-gather symmetry (see sparse_conv._subm_bwd):
+    with g'_k = gather(g, nbr[k]),  dx = Σ_k g'_k @ W[K-1-k]^T  and
+    dW[K-1-k] = x^T @ g'_k."""
+    k, m = nbr.shape
+    d = g.shape[1]
+    p = 128 // d
+    pos, ok = derive_pos(nbr, m)
+    mp = -(-m // p) * p
+    lo, far = _plan_windows(pos, ok, tile, window, p, mp)
+    w_flipT = jnp.flip(weights, axis=0).transpose(0, 2, 1).astype(g.dtype)  # [K, D, C]
+    dx, dw_flip = _bwd_call(feats, g, pos, ok & ~far, w_flipT, lo, tile, window, interpret)
+
+    # far corrections (rare rows): dx via gather+matmul, dW via outer products
+    cap = max(4096, m // 32)
+    flat = far.reshape(-1)
+    (idx,) = jnp.nonzero(flat, size=cap, fill_value=k * m)
+    live = idx < k * m
+    kk = jnp.minimum(idx // m, k - 1)
+    mm = jnp.where(live, idx % m, m)
+    src = jnp.where(live, nbr[kk, jnp.minimum(mm, m - 1)], g.shape[0] - 1)
+    gk_far = jnp.where(live[:, None], g[src].astype(jnp.float32), 0.0)  # [cap, D]
+    wT = jnp.flip(weights, axis=0).transpose(0, 2, 1).astype(jnp.float32)
+    contrib = jnp.einsum("fd,fdc->fc", gk_far, wT[kk])
+    dx_f = jnp.concatenate([dx.astype(jnp.float32), jnp.zeros((1, dx.shape[1]), jnp.float32)])
+    dx = dx_f.at[mm].add(contrib)[:m].astype(dx.dtype)
+    x_far = jnp.where(
+        live[:, None],
+        jnp.concatenate([feats, jnp.zeros((1, feats.shape[1]), feats.dtype)])[
+            jnp.minimum(mm, m)
+        ].astype(jnp.float32),
+        0.0,
+    )
+    dw_far = jax.ops.segment_sum(
+        jnp.einsum("fc,fd->fcd", x_far, gk_far), kk, num_segments=k
+    )
+    dw_flip = dw_flip + dw_far
+    dw = jnp.flip(dw_flip, axis=0)  # un-flip: dw[K-1-k] accumulated at row k
+    return dx, dw.astype(weights.dtype)

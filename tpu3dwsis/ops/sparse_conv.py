@@ -160,11 +160,68 @@ def _weight_grad(feats, nbr, g, accum_dtype=jnp.float32):
 # flipped index K-1-k.  Likewise the k2s2 down conv's transpose is exactly the
 # inverse conv's (parent, child_offset) gather and vice versa.  Scatter-adds
 # measured ~8x slower than gathers on TPU, so this buys most of the backward.
+#
+# Dispatch: on TPU, 3³ subm convs with 128 % C == 0 use the Pallas windowed-
+# DMA kernel (ops/pallas_spconv2.py) — XLA's row gather runs at ~12-15 ns/row
+# here regardless of formulation, which made the 27-offset gather chain the
+# whole step's bottleneck at real-scan scale.  Everything else (input conv
+# C=6, the 96/160-channel levels, CPU tests) takes the XLA path below.
+
+import os as _os
+
+_CONV_IMPL = _os.environ.get("TPU3DWSIS_CONV", "auto")  # auto | xla | pallas
+_PALLAS_TILE = int(_os.environ.get("TPU3DWSIS_CONV_TILE", "256"))
+_PALLAS_WINDOW = int(_os.environ.get("TPU3DWSIS_CONV_WINDOW", "2048"))
+
+
+def _pallas_ok(cin: int, cout: int, m: int) -> bool:
+    if _CONV_IMPL == "xla":
+        return False
+    if 128 % cin or 128 % cout or m % _PALLAS_TILE:
+        return False
+    if _CONV_IMPL == "pallas":
+        return True
+    return jax.default_backend() in ("tpu", "axon")
 
 
 @jax.custom_vjp
+def _subm_conv_pallas(feats, subm_nbr, weights):
+    from .pallas_spconv2 import subm_conv_fwd
+
+    return subm_conv_fwd(
+        feats, subm_nbr, weights, tile=_PALLAS_TILE, window=_PALLAS_WINDOW
+    )
+
+
+def _subm_pallas_fwd(feats, subm_nbr, weights):
+    return _subm_conv_pallas(feats, subm_nbr, weights), (feats, subm_nbr, weights)
+
+
+def _subm_pallas_bwd(res, g):
+    from .pallas_spconv2 import subm_conv_bwd
+
+    feats, nbr, w = res
+    dx, dw = subm_conv_bwd(
+        feats, g.astype(feats.dtype), nbr, w,
+        tile=_PALLAS_TILE, window=_PALLAS_WINDOW,
+    )
+    return dx.astype(feats.dtype), None, dw.astype(w.dtype)
+
+
+_subm_conv_pallas.defvjp(_subm_pallas_fwd, _subm_pallas_bwd)
+
+
 def subm_conv(feats, subm_nbr, weights):
-    """Submanifold conv at one level (spconv ``SubMConv3d`` semantics)."""
+    """Submanifold conv at one level (spconv ``SubMConv3d`` semantics).
+    Dispatches to the Pallas windowed kernel on TPU when supported."""
+    if _pallas_ok(feats.shape[1], weights.shape[2], subm_nbr.shape[1]):
+        return _subm_conv_pallas(feats, subm_nbr, weights)
+    return subm_conv_xla(feats, subm_nbr, weights)
+
+
+@jax.custom_vjp
+def subm_conv_xla(feats, subm_nbr, weights):
+    """XLA gather-GEMM submanifold conv (reference path / fallback)."""
     return gather_conv(feats, subm_nbr, weights)
 
 
@@ -208,7 +265,7 @@ def _subm_bwd(res, g):
     return dx.astype(feats.dtype), None, dw
 
 
-subm_conv.defvjp(_subm_fwd, _subm_bwd)
+subm_conv_xla.defvjp(_subm_fwd, _subm_bwd)
 
 
 @jax.custom_vjp
