@@ -106,6 +106,50 @@ def test_bwd_rect_channels():
     np.testing.assert_allclose(np.asarray(dw), np.asarray(dw_ref), rtol=2e-4, atol=2e-4)
 
 
+def test_fwd_down_table_k8_rect():
+    """k2s2 down-conv shape: K=8, gather source (fine) bigger than the
+    output table (coarse), Cin=32 -> Cout=96 (non-128-divisible output is
+    fine — only the gather side packs)."""
+    rng = np.random.default_rng(4)
+    m_fine, m_coarse, cin, cout = 4096, 1024, 32, 96
+    nbr_np = np.full((8, m_coarse), m_fine, np.int32)
+    for k in range(8):
+        hits = np.sort(rng.choice(m_fine, m_coarse // 2, replace=False))
+        rows = np.sort(rng.choice(m_coarse, m_coarse // 2, replace=False))
+        col = np.full(m_coarse, m_fine, np.int32)
+        col[rows] = hits
+        nbr_np[k] = col
+    nbr = jnp.asarray(nbr_np)
+    feats = jnp.asarray(rng.standard_normal((m_fine, cin)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((8, cin, cout)).astype(np.float32) * 0.2)
+    ref = gather_conv(feats, nbr, w)
+    out = subm_conv_fwd(feats, nbr, w, tile=256, window=1024, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_table_weight_grad():
+    from tpu3dwsis.ops.pallas_spconv2 import table_weight_grad
+
+    rng = np.random.default_rng(5)
+    m_fine, m_coarse, cs, ct = 2048, 512, 64, 96
+    nbr_np = np.full((8, m_coarse), m_fine, np.int32)
+    for k in range(8):
+        hits = np.sort(rng.choice(m_fine, m_coarse - 100, replace=False))
+        rows = np.sort(rng.choice(m_coarse, m_coarse - 100, replace=False))
+        col = np.full(m_coarse, m_fine, np.int32)
+        col[rows] = hits
+        nbr_np[k] = col
+    nbr = jnp.asarray(nbr_np)
+    src = jnp.asarray(rng.standard_normal((m_fine, cs)).astype(np.float32))
+    tile_side = jnp.asarray(rng.standard_normal((m_coarse, ct)).astype(np.float32))
+    got = table_weight_grad(src, tile_side, nbr, tile=128, window=512, interpret=True)
+    src_null = jnp.concatenate([src, jnp.zeros((1, cs))])
+    ref = jnp.stack(
+        [tile_side.T @ src_null[nbr[k]] for k in range(8)]
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
 def test_fwd_bf16_small_window_forces_far_path():
     """A tiny window forces many rows through the far correction — exactness
     must not depend on the window covering the span."""

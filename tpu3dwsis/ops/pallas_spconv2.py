@@ -39,6 +39,7 @@ __all__ = [
     "derive_pos",
     "subm_conv_fwd",
     "subm_conv_bwd",
+    "table_weight_grad",
 ]
 
 
@@ -46,11 +47,12 @@ def supported(channels: int, m: int, tile: int) -> bool:
     return 128 % channels == 0 and m % tile == 0
 
 
-def derive_pos(nbr: jax.Array, m: int):
-    """(pos, ok) from a miss-folded neighbor table: ``ok`` = hit, ``pos`` =
-    monotone positions (misses repaired with a running max so windows stay
-    tight)."""
-    ok = nbr < m
+def derive_pos(nbr: jax.Array, num_src_rows: int):
+    """(pos, ok) from a miss-folded neighbor table: ``ok`` = hit (value <
+    the gather source's row count, e.g. ``M_fine`` for k2s2 down tables),
+    ``pos`` = monotone positions (misses repaired with a running max so
+    windows stay tight)."""
+    ok = nbr < num_src_rows
     pos = jax.lax.cummax(jnp.where(ok, nbr, 0), axis=1)
     return pos.astype(jnp.int32), ok
 
@@ -201,8 +203,8 @@ def subm_conv_fwd(
     k, m = nbr.shape
     c = feats.shape[1]
     p = 128 // c
-    pos, ok = derive_pos(nbr, m)
-    mp = -(-m // p) * p
+    pos, ok = derive_pos(nbr, feats.shape[0])
+    mp = -(-feats.shape[0] // p) * p  # packing follows the gather SOURCE
     lo, far = _plan_windows(pos, ok, tile, window, p, mp)
     out = _fwd_call(feats, pos, ok & ~far, weights.astype(feats.dtype), lo, tile, window, interpret)
     return _far_correction_fwd(out, feats, nbr, weights.astype(feats.dtype), far)
@@ -319,6 +321,135 @@ def _bwd_call(x, g, pos, ok, w_flipT, lo, tile, window, interpret):
         ],
         interpret=interpret,
     )(lo, pos, ok.astype(jnp.int32), gp, w_flipT, x)
+
+
+def _dw_kernel(lo_ref, pos_ref, ok_ref, src_hbm, x_ref, dw_ref, win_ref, sem):
+    """dW[k] = Σ_tiles x_tile^T @ gather(src, nbr[k])_tile — the weight-grad
+    half of the fused backward, standalone for the k2s2 down-table convs
+    (their dx comes from a cheaper gather formulation)."""
+    t = pl.program_id(0)
+    k_total = dw_ref.shape[0]
+    tile = pos_ref.shape[1]
+    wp = win_ref.shape[1]
+    cs = dw_ref.shape[2]  # gather-source channels
+    p = 128 // cs
+
+    @pl.when(t == 0)
+    def _():
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+
+    def dma(k, buf):
+        lo = lo_ref[k, t]
+        lo_p = pl.multiple_of(lo // p, 16)
+        return pltpu.make_async_copy(
+            src_hbm.at[pl.ds(lo_p, wp), :], win_ref.at[buf], sem.at[buf]
+        )
+
+    dma(0, 0).start()
+    xf = x_ref[:].astype(jnp.float32)
+
+    def body(k, _):
+        buf = jax.lax.rem(k, 2)
+        dma(k, buf).wait()
+
+        @pl.when(k + 1 < k_total)
+        def _():
+            dma(k + 1, 1 - buf).start()
+
+        local = pos_ref[k, :] - lo_ref[k, t]
+        ok = (ok_ref[k, :] > 0) & (local >= 0) & (local < wp * p)
+        sel_packed = jnp.where(ok, local // p, -1)
+        onehot = (
+            jax.lax.broadcasted_iota(jnp.int32, (tile, wp), 1)
+            == jnp.broadcast_to(sel_packed.reshape(tile, 1), (tile, wp))
+        )
+        g128 = jax.lax.dot_general(
+            onehot.astype(win_ref.dtype),
+            win_ref[buf],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        sub = jnp.where(ok, local % p, -1)
+        gk = jnp.zeros((tile, cs), jnp.float32)
+        for j in range(p):
+            pick = (sub == j).astype(jnp.float32)
+            gk = gk + jnp.broadcast_to(pick.reshape(tile, 1), (tile, cs)) * g128[:, j * cs : (j + 1) * cs]
+        dw_ref[k] += jax.lax.dot_general(
+            xf, gk, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return ()
+
+    jax.lax.fori_loop(0, k_total, body, ())
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "window", "interpret"))
+def _dw_call(src, x, pos, ok, lo, tile, window, interpret):
+    k, m = pos.shape
+    ct = x.shape[1]  # tile-side channels
+    cs = src.shape[1]  # gather-source channels
+    p = 128 // cs
+    nt = m // tile
+    sp, _ = _pack(src, p)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((k, tile), lambda t, lo_ref: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, tile), lambda t, lo_ref: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),  # packed gather source
+            pl.BlockSpec((tile, ct), lambda t, lo_ref: (t, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (k, ct, cs), lambda t, lo_ref: (0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, window // p, p * cs), src.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        _dw_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((k, ct, cs), jnp.float32),
+        interpret=interpret,
+    )(lo, pos, ok.astype(jnp.int32), sp, x)
+
+
+def table_weight_grad(
+    gather_src: jax.Array,  # [Ms, Cs]
+    tile_side: jax.Array,  # [M, Ct] (per-output-row factor, e.g. the grad)
+    nbr: jax.Array,  # [K, M] int32, Ms = miss
+    tile: int = 256,
+    window: int = 2048,
+    interpret: bool = False,
+) -> jax.Array:
+    """``dW[k] = tile_side^T @ gather(gather_src, nbr[k])`` → [K, Ct, Cs],
+    windowed + exact (far rows corrected in XLA)."""
+    k, m = nbr.shape
+    cs = gather_src.shape[1]
+    p = 128 // cs
+    pos, ok = derive_pos(nbr, gather_src.shape[0])
+    mp = -(-gather_src.shape[0] // p) * p
+    lo, far = _plan_windows(pos, ok, tile, window, p, mp)
+    dw = _dw_call(gather_src, tile_side, pos, ok & ~far, lo, tile, window, interpret)
+
+    cap = max(4096, m // 32)
+    flat = far.reshape(-1)
+    (idx,) = jnp.nonzero(flat, size=cap, fill_value=k * m)
+    live = idx < k * m
+    kk = jnp.minimum(idx // m, k - 1)
+    mm = jnp.where(live, idx % m, m)
+    src = jnp.where(live, nbr[kk, jnp.minimum(mm, m - 1)], gather_src.shape[0] - 1)
+    g_far = jnp.where(live[:, None], gather_src[src].astype(jnp.float32), 0.0)
+    x_pad = jnp.concatenate(
+        [tile_side, jnp.zeros((1, tile_side.shape[1]), tile_side.dtype)]
+    )
+    x_far = x_pad[mm].astype(jnp.float32)
+    dw_far = jax.ops.segment_sum(
+        jnp.einsum("ft,fs->fts", x_far, g_far), kk, num_segments=k
+    )
+    return dw + dw_far
 
 
 def subm_conv_bwd(

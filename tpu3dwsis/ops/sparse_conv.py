@@ -174,10 +174,15 @@ _PALLAS_TILE = int(_os.environ.get("TPU3DWSIS_CONV_TILE", "256"))
 _PALLAS_WINDOW = int(_os.environ.get("TPU3DWSIS_CONV_WINDOW", "2048"))
 
 
-def _pallas_ok(cin: int, cout: int, m: int) -> bool:
+def _pallas_ok(gather_channels, m_table: int, m_src: int) -> bool:
+    """Kernel eligibility: every listed gather-source channel count must
+    pack into 128 lanes, the output-table rows must tile evenly, and the
+    gather source must be at least one window tall."""
     if _CONV_IMPL == "xla":
         return False
-    if 128 % cin or 128 % cout or m % _PALLAS_TILE:
+    if any(128 % c for c in gather_channels):
+        return False
+    if m_table % _PALLAS_TILE or m_src < _PALLAS_WINDOW:
         return False
     if _CONV_IMPL == "pallas":
         return True
@@ -213,8 +218,11 @@ _subm_conv_pallas.defvjp(_subm_pallas_fwd, _subm_pallas_bwd)
 
 def subm_conv(feats, subm_nbr, weights):
     """Submanifold conv at one level (spconv ``SubMConv3d`` semantics).
-    Dispatches to the Pallas windowed kernel on TPU when supported."""
-    if _pallas_ok(feats.shape[1], weights.shape[2], subm_nbr.shape[1]):
+    Dispatches to the Pallas windowed kernel on TPU when supported (forward
+    gathers feats with Cin channels, backward gathers the grad with Cout)."""
+    if _pallas_ok(
+        (feats.shape[1], weights.shape[2]), subm_nbr.shape[1], feats.shape[0]
+    ):
         return _subm_conv_pallas(feats, subm_nbr, weights)
     return subm_conv_xla(feats, subm_nbr, weights)
 
@@ -269,10 +277,50 @@ subm_conv_xla.defvjp(_subm_fwd, _subm_bwd)
 
 
 @jax.custom_vjp
+def _down_conv_pallas(feats, down_nbr, parent, child_offset, weights):
+    """Windowed-kernel down conv: ``down_nbr[k]`` is monotone per offset
+    (coarse keys ascending ⇒ their ``2c+o`` children ascend in fine key
+    order), so the same kernel applies with K=8."""
+    from .pallas_spconv2 import subm_conv_fwd
+
+    return subm_conv_fwd(
+        feats, down_nbr, weights, tile=_PALLAS_TILE, window=_PALLAS_WINDOW
+    )
+
+
+def _down_pallas_fwd(feats, down_nbr, parent, child_offset, weights):
+    out = _down_conv_pallas(feats, down_nbr, parent, child_offset, weights)
+    return out, (feats, down_nbr, parent, child_offset, weights)
+
+
+def _down_pallas_bwd(res, g):
+    from .pallas_spconv2 import table_weight_grad
+
+    feats, down_nbr, parent, child_offset, w = res
+    g = g.astype(feats.dtype)
+    dx = inverse_conv_raw(g, parent, child_offset, w.transpose(0, 2, 1))
+    # dW[k] = gather(x, down_nbr[k])^T @ g  — windowed over the fine source
+    dw = table_weight_grad(
+        feats, g, down_nbr, tile=_PALLAS_TILE, window=_PALLAS_WINDOW
+    ).transpose(0, 2, 1)
+    return dx, None, None, None, dw.astype(w.dtype)
+
+
+_down_conv_pallas.defvjp(_down_pallas_fwd, _down_pallas_bwd)
+
+
 def down_conv(feats, down_nbr, parent, child_offset, weights):
-    """k=2 s=2 strided conv fine→coarse (spconv ``SparseConv3d`` semantics).
-    ``parent``/``child_offset`` (the inverse tables) drive the gather-only
-    backward."""
+    """k=2 s=2 strided conv fine→coarse (spconv ``SparseConv3d`` semantics);
+    Pallas windowed path on TPU (both its gathers read ``feats``, so only
+    Cin must pack into 128 lanes)."""
+    if _pallas_ok((feats.shape[1],), down_nbr.shape[1], feats.shape[0]):
+        return _down_conv_pallas(feats, down_nbr, parent, child_offset, weights)
+    return down_conv_xla(feats, down_nbr, parent, child_offset, weights)
+
+
+@jax.custom_vjp
+def down_conv_xla(feats, down_nbr, parent, child_offset, weights):
+    """XLA gather-GEMM down conv (reference path / fallback)."""
     return gather_conv(feats, down_nbr, weights)
 
 
@@ -289,7 +337,7 @@ def _down_bwd(res, g):
     return dx, None, None, None, dw
 
 
-down_conv.defvjp(_down_fwd, _down_bwd)
+down_conv_xla.defvjp(_down_fwd, _down_bwd)
 
 
 def inverse_conv_raw(feats, parent, child_offset, weights, accum_dtype=jnp.float32):
@@ -319,7 +367,44 @@ def inverse_conv_raw(feats, parent, child_offset, weights, accum_dtype=jnp.float
 
 
 @jax.custom_vjp
+def _inverse_conv_pallas(feats, parent, child_offset, down_nbr, weights):
+    # forward stays the cheap single-gather formulation; the Pallas win is
+    # in the backward's two down-table gathers of the (fine) grad
+    return inverse_conv_raw(feats, parent, child_offset, weights)
+
+
+def _inv_pallas_fwd(feats, parent, child_offset, down_nbr, weights):
+    out = _inverse_conv_pallas(feats, parent, child_offset, down_nbr, weights)
+    return out, (feats, parent, child_offset, down_nbr, weights)
+
+
+def _inv_pallas_bwd(res, g):
+    from .pallas_spconv2 import subm_conv_fwd, table_weight_grad
+
+    feats, parent, child_offset, down_nbr, w = res
+    g = g.astype(feats.dtype)
+    dx = subm_conv_fwd(
+        g, down_nbr, w.transpose(0, 2, 1), tile=_PALLAS_TILE, window=_PALLAS_WINDOW
+    )
+    dw = table_weight_grad(
+        g, feats, down_nbr, tile=_PALLAS_TILE, window=_PALLAS_WINDOW
+    )
+    return dx, None, None, None, dw.astype(w.dtype)
+
+
+_inverse_conv_pallas.defvjp(_inv_pallas_fwd, _inv_pallas_bwd)
+
+
 def inverse_conv(feats, parent, child_offset, down_nbr, weights):
+    """k=2 inverse conv coarse→fine; Pallas-backward path on TPU (its
+    gathers read the fine grad with Cout channels)."""
+    if _pallas_ok((weights.shape[2],), down_nbr.shape[1], parent.shape[0]):
+        return _inverse_conv_pallas(feats, parent, child_offset, down_nbr, weights)
+    return inverse_conv_xla(feats, parent, child_offset, down_nbr, weights)
+
+
+@jax.custom_vjp
+def inverse_conv_xla(feats, parent, child_offset, down_nbr, weights):
     """Differentiable inverse conv; ``down_nbr`` drives the gather-only
     backward (the transpose of this op IS the down conv)."""
     return inverse_conv_raw(feats, parent, child_offset, weights)
@@ -365,7 +450,7 @@ def _inv_bwd(res, g):
     return dx, None, None, None, dws.astype(w.dtype)
 
 
-inverse_conv.defvjp(_inv_fwd, _inv_bwd)
+inverse_conv_xla.defvjp(_inv_fwd, _inv_bwd)
 
 
 def inverse_conv_scatter(feats, down_nbr, weights, m_out: int):
