@@ -89,12 +89,12 @@ def _fwd_kernel(c, lo_ref, pos_ref, ok_ref, xp_hbm, w_ref, out_ref, acc_ref, win
     dma(0, 0).start()
     acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    def body(k, _):
-        buf = jax.lax.rem(k, 2)
+    # static unroll over offsets: all ref indices (window parity, weight row,
+    # table row) stay compile-time constants, which Mosaic lowers reliably
+    for k in range(k_total):
+        buf = k % 2
         dma(k, buf).wait()
-
-        @pl.when(k + 1 < k_total)
-        def _():
+        if k + 1 < k_total:
             dma(k + 1, 1 - buf).start()
 
         local = pos_ref[k, :] - lo_ref[k, t]  # [T]
@@ -121,9 +121,7 @@ def _fwd_kernel(c, lo_ref, pos_ref, ok_ref, xp_hbm, w_ref, out_ref, acc_ref, win
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        return ()
 
-    jax.lax.fori_loop(0, k_total, body, ())
     out_ref[:] = acc_ref[:].astype(out_ref.dtype)
 
 
@@ -240,12 +238,10 @@ def _bwd_kernel(c, lo_ref, pos_ref, ok_ref, gp_hbm, wt_ref, x_ref, dx_ref, dw_re
     acc_ref[:] = jnp.zeros_like(acc_ref)
     xf = x_ref[:].astype(jnp.float32)
 
-    def body(k, _):
-        buf = jax.lax.rem(k, 2)
+    for k in range(k_total):  # static unroll (see _fwd_kernel)
+        buf = k % 2
         dma(k, buf).wait()
-
-        @pl.when(k + 1 < k_total)
-        def _():
+        if k + 1 < k_total:
             dma(k + 1, 1 - buf).start()
 
         local = pos_ref[k, :] - lo_ref[k, t]
@@ -276,9 +272,7 @@ def _bwd_kernel(c, lo_ref, pos_ref, ok_ref, gp_hbm, wt_ref, x_ref, dx_ref, dw_re
         dw_ref[k] += jax.lax.dot_general(
             xf, gk, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
-        return ()
 
-    jax.lax.fori_loop(0, k_total, body, ())
     dx_ref[:] = acc_ref[:].astype(dx_ref.dtype)
 
 
@@ -348,12 +342,10 @@ def _dw_kernel(lo_ref, pos_ref, ok_ref, src_hbm, x_ref, dw_ref, win_ref, sem):
     dma(0, 0).start()
     xf = x_ref[:].astype(jnp.float32)
 
-    def body(k, _):
-        buf = jax.lax.rem(k, 2)
+    for k in range(k_total):  # static unroll (see _fwd_kernel)
+        buf = k % 2
         dma(k, buf).wait()
-
-        @pl.when(k + 1 < k_total)
-        def _():
+        if k + 1 < k_total:
             dma(k + 1, 1 - buf).start()
 
         local = pos_ref[k, :] - lo_ref[k, t]
@@ -377,9 +369,6 @@ def _dw_kernel(lo_ref, pos_ref, ok_ref, src_hbm, x_ref, dw_ref, win_ref, sem):
         dw_ref[k] += jax.lax.dot_general(
             xf, gk, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
-        return ()
-
-    jax.lax.fori_loop(0, k_total, body, ())
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "window", "interpret"))
