@@ -167,6 +167,11 @@ def make_room_scene(
 
     cell = np.floor(xyz / sp_grid).astype(np.int64)
     key = (cell[:, 0] * 73856093) ^ (cell[:, 1] * 19349663) ^ (cell[:, 2] * 83492791)
+    # superpoints must not cross instance boundaries: ScanNet's Felzenszwalb
+    # mesh segments are boundary-aligned (prepare_data_inst_ScanNetV2.py:153),
+    # while a pure spatial grid caps weak-label accuracy at the cell purity
+    # (~0.55 on cluttered rooms)
+    key = key ^ ((ins.astype(np.int64) + 2) * 2654435761)
     _, superpoint = np.unique(key, return_inverse=True)
     superpoint = superpoint.astype(np.int32)
 
