@@ -166,6 +166,20 @@ def _fwd_call(feats, pos, ok, weights, lo, tile, window, interpret):
     )(lo, pos, ok.astype(jnp.int32), xp, weights)
 
 
+def _compact_indices(flat: jax.Array, cap: int, fill: int) -> jax.Array:
+    """Flat indices of True entries, padded with ``fill`` — via cumsum +
+    scatter.  ``jnp.nonzero(size=...)`` lowers to a full sort of the mask
+    (hundreds of ms at 25M elements); this is three streaming passes."""
+    n = flat.shape[0]
+    rank = jnp.cumsum(flat.astype(jnp.int32)) - 1
+    slot = jnp.where(flat & (rank < cap), rank, cap)
+    return (
+        jnp.full((cap + 1,), fill, jnp.int32)
+        .at[slot]
+        .set(jnp.arange(n, dtype=jnp.int32), mode="drop")[:cap]
+    )
+
+
 def _far_correction_fwd(out, feats, nbr, weights, far):
     """Add the contributions of rows whose neighbor fell outside the window:
     compact the (rare) far (k, m) pairs to a fixed-size list, gather, matmul
@@ -174,7 +188,7 @@ def _far_correction_fwd(out, feats, nbr, weights, far):
     k, m = nbr.shape
     cap = max(4096, m // 32)
     flat = far.reshape(-1)
-    (idx,) = jnp.nonzero(flat, size=cap, fill_value=k * m)
+    idx = _compact_indices(flat, cap, k * m)
     kk = jnp.minimum(idx // m, k - 1)
     mm = jnp.where(idx < k * m, idx % m, m)  # m = dropped row
     src = jnp.where(idx < k * m, nbr[kk, jnp.minimum(mm, m - 1)], feats.shape[0] - 1)
@@ -425,7 +439,7 @@ def table_weight_grad(
 
     cap = max(4096, m // 32)
     flat = far.reshape(-1)
-    (idx,) = jnp.nonzero(flat, size=cap, fill_value=k * m)
+    idx = _compact_indices(flat, cap, k * m)
     live = idx < k * m
     kk = jnp.minimum(idx // m, k - 1)
     mm = jnp.where(live, idx % m, m)
@@ -465,7 +479,7 @@ def subm_conv_bwd(
     # far corrections (rare rows): dx via gather+matmul, dW via outer products
     cap = max(4096, m // 32)
     flat = far.reshape(-1)
-    (idx,) = jnp.nonzero(flat, size=cap, fill_value=k * m)
+    idx = _compact_indices(flat, cap, k * m)
     live = idx < k * m
     kk = jnp.minimum(idx // m, k - 1)
     mm = jnp.where(live, idx % m, m)
