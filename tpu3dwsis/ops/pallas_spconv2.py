@@ -48,22 +48,26 @@ def supported(channels: int, m: int, tile: int) -> bool:
 
 
 def derive_pos(nbr: jax.Array, num_src_rows: int):
-    """(pos, ok) from a miss-folded neighbor table: ``ok`` = hit (value <
-    the gather source's row count, e.g. ``M_fine`` for k2s2 down tables),
-    ``pos`` = monotone positions (misses repaired with a running max so
-    windows stay tight)."""
+    """(pos, ok) from a miss-folded neighbor table.  The kernel masks miss
+    rows itself, so ``pos`` is just the raw table — no cummax repair needed
+    (the old [K, M] cummax prelude cost more than the kernel)."""
     ok = nbr < num_src_rows
-    pos = jax.lax.cummax(jnp.where(ok, nbr, 0), axis=1)
-    return pos.astype(jnp.int32), ok
+    return nbr.astype(jnp.int32), ok
 
 
 def _plan_windows(pos, ok, tile: int, window: int, p: int, mp: int):
     """Window starts ``lo [K, nt]`` (aligned so ``lo/p`` is a multiple of the
-    16-sublane tile) and the ``far`` mask of rows the windows miss."""
+    16-sublane tile) and the ``far`` mask of rows the windows miss.
+
+    ``lo`` = each tile's minimum hit position (one [K, M] → [K, nt]
+    min-reduce; hits are non-decreasing per offset so the min covers the
+    whole tile from below); rows beyond ``lo + window`` land in ``far``.
+    """
     k, m = pos.shape
     nt = m // tile
     q = 16 * p
-    lo = pos[:, ::tile]
+    hits = jnp.where(ok, pos, mp)
+    lo = jnp.min(hits.reshape(k, nt, tile), axis=2)
     lo = (lo // q) * q
     hi = ((mp - window) // q) * q
     lo = jnp.clip(lo, 0, max(hi, 0)).astype(jnp.int32)
