@@ -45,6 +45,47 @@ def get_scenes():
     return scenes
 
 
+def measure_device():
+    """Measured (not spec) HBM bandwidth and bf16 matmul rate of this chip —
+    context for the vs_baseline comparison: the relay chip is heavily
+    throttled (~19% of v5e spec), while the TITAN RTX baseline ran at full
+    672 GB/s / 130 TF fp16.  Discards the first run (relay warm-up)."""
+    import jax
+    import jax.numpy as jnp
+
+    n = 64 * 1024 * 1024
+    x = jnp.ones((n,), jnp.bfloat16)
+
+    @jax.jit
+    def ew(x):
+        def step(acc, _):
+            y = x * acc.astype(x.dtype)
+            return acc + y[0].astype(jnp.float32) + 1.0, None
+        return jax.lax.scan(step, jnp.float32(1), jnp.arange(8))[0]
+
+    ew(x).block_until_ready()
+    float(ew(x))
+    t0 = time.perf_counter()
+    float(ew(x))
+    gbps = 8 * 2 * n * 2 / (time.perf_counter() - t0) / 1e9
+
+    a = jnp.ones((4096, 4096), jnp.bfloat16)
+
+    @jax.jit
+    def mm(a):
+        def step(acc, _):
+            c = jnp.dot(a + acc.astype(a.dtype), a, preferred_element_type=jnp.float32)
+            return acc + c[0, 0], None
+        return jax.lax.scan(step, jnp.float32(0), jnp.arange(8))[0]
+
+    mm(a).block_until_ready()
+    float(mm(a))
+    t0 = time.perf_counter()
+    float(mm(a))
+    tflops = 8 * 2 * 4096**3 / (time.perf_counter() - t0) / 1e12
+    return round(gbps, 1), round(tflops, 1)
+
+
 def main():
     import jax
 
@@ -63,6 +104,10 @@ def main():
     from tpu3dwsis.train.optim import make_optimizer
     from tpu3dwsis.train.state import init_train_state
     from tpu3dwsis.train.step import make_forward_fn, make_train_step
+
+    note("measuring device capability")
+    hbm_gbps, bf16_tflops = measure_device()
+    note(f"device: {hbm_gbps} GB/s, {bf16_tflops} bf16 TFLOP/s")
 
     scenes = get_scenes()
     # capacities measured from the scenes (incl. the real per-level
@@ -107,65 +152,55 @@ def main():
 
     loss_cfg = LossConfig(classes=20, max_instances=64, num_scenes=BATCH)
     flags = LossFlags(True, True, True)  # stage-3: every loss term on
-    raw_step = make_train_step(model, tx, statics, loss_cfg, flags, jit=False)
+    step = make_train_step(model, tx, statics, loss_cfg, flags, donate=True)
 
-    # ---- train throughput: N steps inside ONE lax.scan, so the timing is
-    # device-bound and immune to the ~90 ms host<->device relay latency of
-    # this environment; sync = a single dependent host read. ----
+    # ---- train throughput: sequential jitted steps with a dependent host
+    # read each (a single long lax.scan execution crashes the relay worker,
+    # and the FIRST timed execution of any program in a process carries a
+    # multi-second relay warm-up — discard compile + one warm-up step).
+    # The ~90 ms relay round-trip per step slightly UNDERREPORTS throughput;
+    # acceptable, and it vanishes as steps shrink relative to it less. ----
     import jax.numpy as jnp
 
-    n_steps = 12
-    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *batches)
-
-    @jax.jit
-    def run_steps(state, stacked):
-        def body(st, i):
-            batch = jax.tree_util.tree_map(
-                lambda x: jax.lax.dynamic_index_in_dim(x, i % 2, keepdims=False), stacked
-            )
-            st, out = raw_step(st, batch)
-            return st, out["loss"]
-        return jax.lax.scan(body, state, jnp.arange(n_steps))
-
-    note("compiling scanned train steps")
-    new_state, losses_dev = run_steps(state, stacked)
-    final_loss = float(losses_dev[-1])
-    note("train compiled; timing")
+    n_steps = int(os.environ.get("BENCH_STEPS", "6"))
+    note("compiling train step")
+    state, out = step(state, batches[0])
+    float(out["loss"])
+    note("train compiled; warm-up step")
+    state, out = step(state, batches[1])
+    float(out["loss"])
+    note("timing")
     t0 = time.perf_counter()
-    new_state, losses_dev = run_steps(state, stacked)
-    final_loss = float(losses_dev[-1])
+    final_loss = 0.0
+    for i in range(n_steps):
+        state, out = step(state, batches[i % 2])
+        final_loss = float(out["loss"])
     train_dt = time.perf_counter() - t0
-    state = new_state
     train_scenes_per_sec = BATCH * n_steps / train_dt
     batch_points = [int(np.asarray(b.point_valid).sum()) for b in batches]
     train_points = sum((batch_points * ((n_steps + 1) // 2))[:n_steps])
     train_mpts_per_sec = train_points / train_dt / 1e6
 
-    # ---- inference throughput (eval forward) ----
-    note("compiling scanned inference")
-    n_inf = 12
+    # ---- inference throughput (eval forward), same sequential protocol ----
+    note("compiling inference")
+    n_inf = n_steps
     from tpu3dwsis.nn.network import preprocess as _pre
 
     @jax.jit
-    def run_forwards(params, batch_stats, stacked):
-        def body(acc, i):
-            batch = jax.tree_util.tree_map(
-                lambda x: jax.lax.dynamic_index_in_dim(x, i % 2, keepdims=False), stacked
-            )
-            pre = _pre(batch, statics, use_coords=model.cfg.use_coords)
-            outs = model.apply(
-                {"params": params, "batch_stats": batch_stats}, batch, pre, train=False
-            )
-            return acc + outs["semantic_scores"][0, 0], None
-        acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(n_inf))
-        return acc
+    def run_forward(params, batch_stats, batch):
+        pre = _pre(batch, statics, use_coords=model.cfg.use_coords)
+        outs = model.apply(
+            {"params": params, "batch_stats": batch_stats}, batch, pre, train=False
+        )
+        return outs["semantic_scores"][0, 0]
 
-    acc = run_forwards(state.params, state.batch_stats, stacked)
-    float(acc)
-    note("inference compiled; timing")
+    float(run_forward(state.params, state.batch_stats, batches[0]))
+    note("inference compiled; warm-up")
+    float(run_forward(state.params, state.batch_stats, batches[1]))
+    note("timing inference")
     t0 = time.perf_counter()
-    acc = run_forwards(state.params, state.batch_stats, stacked)
-    float(acc)
+    for i in range(n_inf):
+        float(run_forward(state.params, state.batch_stats, batches[i % 2]))
     inf_dt = time.perf_counter() - t0
     total_points = sum(
         int(np.asarray(b.point_valid).sum()) for b in (batches * ((n_inf + 1) // 2))[:n_inf]
@@ -188,6 +223,10 @@ def main():
                     "baseline_mpts_per_sec": 0.39,
                     "batch": BATCH,
                     "device": str(jax.devices()[0]),
+                    # measured, not spec: this relay chip runs ~19% of v5e
+                    # (the TITAN RTX baseline had 672 GB/s / 130 TF fp16)
+                    "device_hbm_gbps_measured": hbm_gbps,
+                    "device_bf16_tflops_measured": bf16_tflops,
                     "train_step_ms": round(1000 * train_dt / n_steps, 1),
                     "final_loss": round(final_loss, 4),
                 },

@@ -86,6 +86,14 @@ def main():
     curve = [{"event": "acquire", **store.label_stats()}]
     print(f"# acquire: {curve[-1]}", flush=True)
 
+    def flush_partial():
+        with open(OUT, "w") as f:
+            json.dump({"status": "in_progress", "curve": curve,
+                       "workload": {"train_scenes": N_TRAIN, "density": DENSITY,
+                                    "batch": BATCH, "epochs": EP}}, f, indent=2)
+
+    flush_partial()
+
     cfg = CurriculumConfig(
         batch_size=BATCH,
         stage1_epochs=EP[0],
@@ -104,11 +112,13 @@ def main():
         orig_prop(ind)
         curve.append({"event": f"round{ind}", **store.label_stats()})
         print(f"# {curve[-1]}", flush=True)
+        flush_partial()
 
     def whole_hook():
         orig_whole()
         curve.append({"event": "whole_scene", **store.label_stats()})
         print(f"# {curve[-1]}", flush=True)
+        flush_partial()
 
     trainer.propagation_pass = prop_hook
     trainer.whole_scene_pass = whole_hook
