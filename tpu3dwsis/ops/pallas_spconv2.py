@@ -35,16 +35,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = [
-    "supported",
     "derive_pos",
     "subm_conv_fwd",
     "subm_conv_bwd",
     "table_weight_grad",
 ]
-
-
-def supported(channels: int, m: int, tile: int) -> bool:
-    return 128 % channels == 0 and m % tile == 0
 
 
 def derive_pos(nbr: jax.Array, num_src_rows: int):
