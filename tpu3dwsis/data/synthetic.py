@@ -93,16 +93,28 @@ def make_room_scene(
     for origin, u in walls:
         add(_sample_quad(rng, origin, u, (0, 0, wall_h), density, noise), 0, IGNORE)
 
-    # furniture: boxes on the floor + thin wall-mounted quads
+    # furniture: boxes on the floor + thin wall-mounted quads.  Classes are
+    # DETERMINISTIC functions of geometry (size bucket × aspect) so they are
+    # learnable across scenes — random class assignment made val semantic /
+    # instance AP structurally zero on this proxy (a class must have a
+    # visual signature, like real furniture categories do).  Wall-mounted
+    # classes: 2=door-like (tall), 3=window-like (wide), 4=picture-like
+    # (small).  Floor boxes: classes 5..classes-1 by (footprint, height,
+    # aspect) buckets; each class also gets a characteristic base hue.
     n_inst = max(6, int(rng.poisson(8 + 0.3 * w * l)))
     for i in range(n_inst):
-        c = 2 + int(rng.integers(0, classes - 2))
-        if rng.random() < 0.2:  # wall-mounted (door/window/picture-like)
+        if rng.random() < 0.2:  # wall-mounted
             wi = int(rng.integers(0, 4))
             origin, u = walls[wi]
             ulen = np.linalg.norm(u)
             size_u = rng.uniform(0.4, 1.4)
             size_z = rng.uniform(0.4, 1.2)
+            if size_z > 1.0 and size_u < 0.9:
+                c = 2  # door-like
+            elif size_u > 0.9:
+                c = 3  # window-like
+            else:
+                c = 4  # picture-like
             t = rng.uniform(0.1, max(ulen - size_u - 0.1, 0.2))
             z0 = rng.uniform(0.1, max(wall_h - size_z - 0.1, 0.2))
             udir = np.asarray(u) / ulen
@@ -113,6 +125,12 @@ def make_room_scene(
             size = np.array(
                 [rng.uniform(0.25, 1.2), rng.uniform(0.25, 1.2), rng.uniform(0.25, 1.0)]
             )
+            foot = int(size[0] * size[1] > 0.5)  # big/small footprint
+            tall = int(size[2] > 0.6)
+            elong = int(max(size[0], size[1]) > 2.0 * min(size[0], size[1]))
+            vol = int(size.prod() > 0.25)
+            bucket = ((foot * 2 + tall) * 2 + elong) * 2 + vol  # 0..15
+            c = 5 + bucket % (classes - 5)
             cx = rng.uniform(0.3 + size[0] / 2, max(w - 0.3 - size[0] / 2, 0.6))
             cy = rng.uniform(0.3 + size[1] / 2, max(l - 0.3 - size[1] / 2, 0.6))
             pts = _sample_box(rng, (cx, cy), size, 0.0, density, noise)
@@ -158,7 +176,12 @@ def make_room_scene(
     )
     for ins_id in np.unique(ins[~bg]) if (~bg).any() else []:
         m = ins == ins_id
-        rgb[m] = rng.uniform(-0.8, 0.8, 3)
+        # class-anchored base color (+ per-instance jitter): color carries
+        # class signal like real furniture categories tend to
+        c_id = int(sem[m][0])
+        hue = (c_id * 2.399963) % (2 * np.pi)  # golden-angle spacing
+        base = 0.6 * np.array([np.cos(hue), np.cos(hue - 2.094), np.cos(hue + 2.094)])
+        rgb[m] = base + rng.uniform(-0.25, 0.25, 3)
     rgb += rng.normal(0, 0.05, rgb.shape)
     rgb = np.clip(rgb, -1, 1).astype(np.float32)
 
