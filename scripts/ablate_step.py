@@ -2,16 +2,20 @@
 """Perf attribution on the honest bench workload: time the pieces of the
 train step separately so optimization effort goes where the milliseconds are.
 
-Each component runs STEPS reps inside one jitted lax.scan, alternating
-between two stacked batches via dynamic_index (prevents XLA loop-invariant
-hoisting), with a dependent host read as the sync — same method as bench.py.
+Two protocols (both discard compile + one warm-up execution — the first
+timed run of any program on the relay carries a multi-second artifact):
 
-  preprocess   voxelize + full U-Net rulebook/plan build (all levels)
-  fwd_eval     eval-mode forward (preprocess included)
-  fwd_net      eval-mode forward with the plan precomputed (net compute only)
-  train        full train step (fwd+bwd+optimizer)
+* BIG components (train / grad / fwd_train / fwd_eval): sequential jitted
+  calls with a dependent host read each, exactly like bench.py — so the
+  persistent compile cache shares entries with bench runs, and no single
+  device execution exceeds the ~60 s relay crash threshold.
+* SMALL components (preprocess / unet / ecc / convs / points / losses / opt):
+  a jitted lax.scan of ABL_STEPS reps alternating two inputs via
+  dynamic_index (prevents loop-invariant hoisting), one host read at the end.
 
-Env: ABL_BATCH (default 10), ABL_STEPS (8), ABL_WHAT (csv of the above).
+Env: ABL_BATCH (default 6 = bench batch), ABL_STEPS (8), ABL_WHAT (csv).
+Components: train grad opt fwd_train fwd_eval preprocess unet unet_grad
+            ecc_grad convs points losses
 """
 import json
 import os
@@ -23,9 +27,64 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-BATCH = int(os.environ.get("ABL_BATCH", "10"))
+BATCH = int(os.environ.get("ABL_BATCH", "6"))
 STEPS = int(os.environ.get("ABL_STEPS", "8"))
-WHAT = os.environ.get("ABL_WHAT", "preprocess,fwd_eval,fwd_net,train").split(",")
+DEFAULT = "train,grad,opt,fwd_train,fwd_eval,preprocess,unet,unet_grad,ecc_grad,convs,points,losses"
+WHAT = os.environ.get("ABL_WHAT", DEFAULT).split(",")
+
+results = {}
+
+
+def report(name, ms, compile_s):
+    results[name] = ms
+    print(json.dumps({"component": name, "ms": round(ms, 2),
+                      "compile_s": round(compile_s, 1)}), flush=True)
+
+
+def guard(name, thunk):
+    """One failing component must not kill the rest of the attribution run."""
+    try:
+        thunk()
+    except Exception as e:  # noqa: BLE001
+        print(json.dumps({"component": name, "error": repr(e)[:500]}), flush=True)
+
+
+def _read(out):
+    """Dependent host read (block_until_ready returns early on the relay)."""
+    import jax
+    import jax.numpy as jnp
+
+    leaves = [x for x in jax.tree_util.tree_leaves(out) if hasattr(x, "dtype")]
+    return float(jnp.sum(leaves[0].astype(jnp.float32)))
+
+
+def timed_seq(name, fn, args_a, args_b, reps=4):
+    """Sequential protocol: compile, warm-up, then reps alternating calls."""
+    try:
+        t0 = time.perf_counter()
+        _read(fn(*args_a))
+        compile_t = time.perf_counter() - t0
+        _read(fn(*args_b))
+        t0 = time.perf_counter()
+        for i in range(reps):
+            _read(fn(*(args_a if i % 2 == 0 else args_b)))
+        report(name, (time.perf_counter() - t0) / reps * 1000, compile_t)
+    except Exception as e:  # noqa: BLE001
+        print(json.dumps({"component": name, "error": repr(e)[:500]}), flush=True)
+
+
+def timed_scan(name, fn, *args):
+    """Scan protocol: fn is already jitted and internally runs STEPS reps."""
+    try:
+        t0 = time.perf_counter()
+        _read(fn(*args))
+        compile_t = time.perf_counter() - t0
+        _read(fn(*args))
+        t0 = time.perf_counter()
+        _read(fn(*args))
+        report(name, (time.perf_counter() - t0) / STEPS * 1000, compile_t)
+    except Exception as e:  # noqa: BLE001
+        print(json.dumps({"component": name, "error": repr(e)[:500]}), flush=True)
 
 
 def main():
@@ -37,7 +96,7 @@ def main():
 
     from tpu3dwsis.core.buckets import fit_statics
     from tpu3dwsis.data.collate import SceneLabels, collate, to_scene_batch
-    from tpu3dwsis.nn.losses import LossConfig, LossFlags
+    from tpu3dwsis.nn.losses import LossConfig, LossFlags, multi_task_loss
     from tpu3dwsis.nn.network import NetConfig, WSISNet, preprocess
     from tpu3dwsis.train.optim import make_optimizer
     from tpu3dwsis.train.state import init_train_state
@@ -70,34 +129,104 @@ def main():
         arrays = collate(group, [labels_for(s) for s in group], statics, rng, training=True)
         batches.append(to_scene_batch(arrays))
     stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *batches)
-    batch0 = batches[0]
+    batch0, batch1 = batches
 
     def pick(stacked_tree, i):
         return jax.tree_util.tree_map(
             lambda x: jax.lax.dynamic_index_in_dim(x, i % 2, keepdims=False), stacked_tree
         )
 
-    def timed(name, fn, *args):
+    # ---- shared state: init exactly like bench.py (compile-cache shared) ----
+    pre0 = preprocess(batch0, statics)
+    variables = model.init(jax.random.PRNGKey(0), batch0, pre0, train=False)
+    print("# init done", file=sys.stderr, flush=True)
+    tx = make_optimizer(variables["params"], max_epochs=120, steps_per_epoch=30)
+    state = init_train_state(variables["params"], variables["batch_stats"], tx)
+    loss_cfg = LossConfig(classes=20, max_instances=64, num_scenes=BATCH)
+    flags = LossFlags(True, True, True)
+
+    # =================== BIG components (sequential) ===================
+    if "fwd_eval" in WHAT:
+        # identical program to bench.py's run_forward (cache-shared)
+        @jax.jit
+        def run_forward(params, batch_stats, batch):
+            pre = preprocess(batch, statics, use_coords=model.cfg.use_coords)
+            outs = model.apply(
+                {"params": params, "batch_stats": batch_stats}, batch, pre, train=False
+            )
+            return outs["semantic_scores"][0, 0]
+        timed_seq("fwd_eval", run_forward,
+                  (state.params, state.batch_stats, batch0),
+                  (state.params, state.batch_stats, batch1))
+
+    if "fwd_train" in WHAT:
+        @jax.jit
+        def run_fwd_train(params, batch_stats, batch):
+            pre = preprocess(batch, statics, use_coords=model.cfg.use_coords)
+            outs, mutated = model.apply(
+                {"params": params, "batch_stats": batch_stats}, batch, pre,
+                train=True, mutable=["batch_stats"],
+            )
+            loss, _ = multi_task_loss(outs, batch, loss_cfg, flags)
+            return loss
+        timed_seq("fwd_train", run_fwd_train,
+                  (state.params, state.batch_stats, batch0),
+                  (state.params, state.batch_stats, batch1))
+
+    grads0 = None
+    if "grad" in WHAT or "opt" in WHAT:
+        @jax.jit
+        def run_grad(params, batch_stats, batch):
+            pre = preprocess(batch, statics, use_coords=model.cfg.use_coords)
+
+            def loss_fn(p):
+                outs, mutated = model.apply(
+                    {"params": p, "batch_stats": batch_stats}, batch, pre,
+                    train=True, mutable=["batch_stats"],
+                )
+                loss, _ = multi_task_loss(outs, batch, loss_cfg, flags)
+                return loss
+            return jax.value_and_grad(loss_fn)(params)
+        if "grad" in WHAT:
+            timed_seq("grad", run_grad,
+                      (state.params, state.batch_stats, batch0),
+                      (state.params, state.batch_stats, batch1))
+        try:
+            _, grads0 = run_grad(state.params, state.batch_stats, batch0)
+            grads0 = jax.tree_util.tree_map(lambda x: x.block_until_ready(), grads0)
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({"component": "grads0", "error": repr(e)[:500]}), flush=True)
+            grads0 = None
+
+    if "opt" in WHAT and grads0 is not None:
+        import optax
+
+        @jax.jit
+        def run_opt(grads, opt_state, params):
+            updates, new_opt = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), new_opt
+        g_b = jax.tree_util.tree_map(lambda x: x * 1.001, grads0)
+        timed_seq("opt", run_opt,
+                  (grads0, state.opt_state, state.params),
+                  (g_b, state.opt_state, state.params), reps=8)
+
+    if "train" in WHAT:
+        # identical program to bench.py's step (donate, cache-shared)
+        step = make_train_step(model, tx, statics, loss_cfg, flags, donate=True)
         t0 = time.perf_counter()
-        out = fn(*args)
-        jax.tree_util.tree_map(lambda x: x.block_until_ready(), out)
+        state2, out = step(state, batch0)
+        float(out["loss"])
         compile_t = time.perf_counter() - t0
-        # discard one full execution: the first timed run of any program on
-        # the relay carries a multi-second warm-up artifact
-        out = fn(*args)
-        leaves = [x for x in jax.tree_util.tree_leaves(out) if hasattr(x, "dtype")]
-        float(jnp.sum(leaves[0].astype(jnp.float32)))
+        state2, out = step(state2, batch1)
+        float(out["loss"])
         t0 = time.perf_counter()
-        out = fn(*args)
-        leaves = [x for x in jax.tree_util.tree_leaves(out) if hasattr(x, "dtype")]
-        float(jnp.sum(leaves[0].astype(jnp.float32)))
-        dt = (time.perf_counter() - t0) / STEPS * 1000
-        print(json.dumps({"component": name, "ms": round(dt, 2),
-                          "compile_s": round(compile_t, 1)}), flush=True)
-        return dt
+        reps = 4
+        for i in range(reps):
+            state2, out = step(state2, batches[i % 2])
+            float(out["loss"])
+        report("train", (time.perf_counter() - t0) / reps * 1000, compile_t)
 
-    results = {}
-
+    # =================== SMALL components (scan) ===================
     if "preprocess" in WHAT:
         @jax.jit
         def run_pre(stacked):
@@ -108,60 +237,229 @@ def main():
                 return acc + s, None
             acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(STEPS))
             return acc
-        results["preprocess"] = timed("preprocess", run_pre, stacked)
+        timed_scan("preprocess", run_pre, stacked)
 
-    variables = None
-    if {"fwd_eval", "fwd_net", "train"} & set(WHAT):
-        pre0 = preprocess(batch0, statics, use_coords=model.cfg.use_coords)
-        variables = model.init(jax.random.PRNGKey(0), batch0, pre0, train=False)
+    # precomputed plans for net-only timings
+    pre_fn = jax.jit(lambda b: preprocess(b, statics, use_coords=model.cfg.use_coords))
+    pres = [jax.tree_util.tree_map(lambda x: x.block_until_ready(), pre_fn(b))
+            for b in batches]
+    pre_stacked = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs) if xs[0] is not None else None, *pres,
+        is_leaf=lambda x: x is None)
 
-    if "fwd_eval" in WHAT:
+    uvars = None
+    if "unet" in WHAT or "unet_grad" in WHAT:
+        from tpu3dwsis.nn.unet import SparseUNet
+
+        unet = SparseUNet(32, 5, 2)
+        try:
+            uvars = unet.init(jax.random.PRNGKey(0),
+                              pres[0].voxel_feats.astype(jnp.bfloat16), pres[0].plan, False)
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({"component": "unet_init", "error": repr(e)[:500]}), flush=True)
+
+        if "unet" in WHAT and uvars is not None:
+            @jax.jit
+            def run_unet(params, bstats, pre_stacked):
+                def body(acc, i):
+                    pre = pick(pre_stacked, i)
+                    out = unet.apply({"params": params, "batch_stats": bstats},
+                                     pre.voxel_feats.astype(jnp.bfloat16), pre.plan, False)
+                    return acc + out[0, 0].astype(jnp.float32), None
+                acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(STEPS))
+                return acc
+            timed_scan("unet", run_unet, uvars["params"], uvars["batch_stats"], pre_stacked)
+
+        if "unet_grad" in WHAT and uvars is not None:
+            half = max(STEPS // 2, 1)
+
+            @jax.jit
+            def run_unet_grad(params, bstats, pre_stacked):
+                def one(p, pre):
+                    out, _ = unet.apply({"params": p, "batch_stats": bstats},
+                                        pre.voxel_feats.astype(jnp.bfloat16), pre.plan,
+                                        True, mutable=["batch_stats"])
+                    return jnp.sum(out.astype(jnp.float32))
+
+                def body(acc, i):
+                    pre = pick(pre_stacked, i)
+                    _, g = jax.value_and_grad(one)(params, pre)
+                    lv = jax.tree_util.tree_leaves(g)[0]
+                    return acc + jnp.sum(lv.astype(jnp.float32)), None
+                acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(half))
+                return acc
+            try:
+                t0 = time.perf_counter()
+                _read(run_unet_grad(uvars["params"], uvars["batch_stats"], pre_stacked))
+                compile_t = time.perf_counter() - t0
+                _read(run_unet_grad(uvars["params"], uvars["batch_stats"], pre_stacked))
+                t0 = time.perf_counter()
+                _read(run_unet_grad(uvars["params"], uvars["batch_stats"], pre_stacked))
+                report("unet_grad", (time.perf_counter() - t0) / half * 1000, compile_t)
+            except Exception as e:  # noqa: BLE001
+                print(json.dumps({"component": "unet_grad", "error": repr(e)[:500]}), flush=True)
+
+    if "ecc_grad" in WHAT:
+        from tpu3dwsis.nn.ecc import EccGraphNetwork
+
+        ecc = EccGraphNetwork(32, 7, 64, edge_dtype="bfloat16")
+        s = statics.max_superpoints
+        emb = [jnp.asarray(np.random.default_rng(i).normal(size=(s, 32)), jnp.float32)
+               for i in range(2)]
+        emb_stacked = jnp.stack(emb)
+        b0 = batch0
+        try:
+            evars = ecc.init(jax.random.PRNGKey(0), emb[0], b0.edge_u, b0.edge_v,
+                             b0.edge_feats, b0.edge_valid, b0.sp_valid, False)
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({"component": "ecc_init", "error": repr(e)[:500]}), flush=True)
+            evars = None
+
         @jax.jit
-        def run_fwd(params, bstats, stacked):
+        def run_ecc_grad(params, bstats, emb_stacked, batch):
+            def one(p, e):
+                out, _ = ecc.apply({"params": p, "batch_stats": bstats},
+                                   e, batch.edge_u, batch.edge_v, batch.edge_feats,
+                                   batch.edge_valid, batch.sp_valid, True,
+                                   mutable=["batch_stats"])
+                return jnp.sum(out.astype(jnp.float32))
+
             def body(acc, i):
-                b = pick(stacked, i)
-                pre = preprocess(b, statics, use_coords=model.cfg.use_coords)
-                outs = model.apply({"params": params, "batch_stats": bstats}, b, pre, train=False)
-                return acc + outs["semantic_scores"][0, 0].astype(jnp.float32), None
+                e = jax.lax.dynamic_index_in_dim(emb_stacked, i % 2, keepdims=False)
+                _, g = jax.value_and_grad(one)(params, e)
+                lv = jax.tree_util.tree_leaves(g)[0]
+                return acc + jnp.sum(lv.astype(jnp.float32)), None
             acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(STEPS))
             return acc
-        results["fwd_eval"] = timed(
-            "fwd_eval", run_fwd, variables["params"], variables["batch_stats"], stacked)
+        if evars is not None:
+            timed_scan("ecc_grad", run_ecc_grad, evars["params"], evars["batch_stats"],
+                       emb_stacked, batch0)
 
-    if "fwd_net" in WHAT:
-        pre_fn = jax.jit(lambda b: preprocess(b, statics, use_coords=model.cfg.use_coords))
-        pres = [pre_fn(b) for b in batches]
-        pre_stacked = jax.tree_util.tree_map(
-            lambda *xs: jnp.stack(xs) if xs[0] is not None else None, *pres,
-            is_leaf=lambda x: x is None)
-        batch_and_pre = (stacked, pre_stacked)
+    if "points" in WHAT:
+        # vox->point gather + superpoint segment-mean pooling (fwd only)
+        m0 = statics.max_voxels
+        vfeat = [jnp.asarray(np.random.default_rng(i).normal(size=(m0 + 1, 32)),
+                             jnp.float32) for i in range(2)]
+        vf_stacked = jnp.stack(vfeat)
+
+        from tpu3dwsis.ops.segment import segment_mean
 
         @jax.jit
-        def run_net(params, bstats, batch_and_pre):
+        def run_points(vf_stacked, batch, pre):
+            s = batch.num_superpoints
+
             def body(acc, i):
-                b, pre = pick(batch_and_pre, i)
-                outs = model.apply({"params": params, "batch_stats": bstats}, b, pre, train=False)
-                return acc + outs["semantic_scores"][0, 0].astype(jnp.float32), None
+                vf = jax.lax.dynamic_index_in_dim(vf_stacked, i % 2, keepdims=False)
+                pf = vf[pre.p2v]
+                emb = segment_mean(pf, batch.point_sp, s + 1)[:s]
+                return acc + jnp.sum(emb[0]) + pf[0, 0], None
             acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(STEPS))
             return acc
-        results["fwd_net"] = timed(
-            "fwd_net", run_net, variables["params"], variables["batch_stats"], batch_and_pre)
+        timed_scan("points", run_points, vf_stacked, batch0, pres[0])
 
-    if "train" in WHAT:
-        tx = make_optimizer(variables["params"], max_epochs=120, steps_per_epoch=30)
-        state = init_train_state(variables["params"], variables["batch_stats"], tx)
-        loss_cfg = LossConfig(classes=20, max_instances=64, num_scenes=BATCH)
-        raw_step = make_train_step(model, tx, statics,
-                                   loss_cfg, LossFlags(True, True, True), jit=False)
+    if "losses" in WHAT:
+        fwd = jax.jit(lambda p, bs, b, pre: model.apply(
+            {"params": p, "batch_stats": bs}, b, pre, train=False))
+        try:
+            outs0 = fwd(state.params, state.batch_stats, batch0, pres[0])
+            outs0 = jax.tree_util.tree_map(lambda x: x.block_until_ready(), outs0)
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({"component": "losses_setup", "error": repr(e)[:500]}), flush=True)
+            outs0 = None
+    if "losses" in WHAT and outs0 is not None:
+        outs1 = jax.tree_util.tree_map(lambda x: x * 1.0001, outs0)
+        outs_stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), outs0, outs1)
 
         @jax.jit
-        def run_train(state, stacked):
-            def body(st, i):
-                st, out = raw_step(st, pick(stacked, i))
-                return st, out["loss"]
-            st, losses = jax.lax.scan(body, state, jnp.arange(STEPS))
-            return losses
-        results["train"] = timed("train", run_train, state, stacked)
+        def run_losses(outs_stacked, batch):
+            def one(o):
+                loss, _ = multi_task_loss(o, batch, loss_cfg, flags)
+                return loss
+
+            def body(acc, i):
+                o = pick(outs_stacked, i)
+                _, g = jax.value_and_grad(one)(o)
+                return acc + jnp.sum(g["semantic_scores"][0].astype(jnp.float32)), None
+            acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(STEPS))
+            return acc
+        timed_scan("losses", run_losses, outs_stacked, batch0)
+
+    if "convs" in WHAT:
+        # per-level subm conv fwd / fwd+bwd micro-benches on real tables
+        from tpu3dwsis.ops import sparse_conv
+
+        channels = [32, 64, 96, 128, 160]
+        plan0 = pres[0].plan
+        for lv in range(len(plan0.levels)):
+            c = channels[lv]
+            lp = plan0.levels[lv]
+            m = lp.subm_nbr.shape[1]
+            key = jax.random.PRNGKey(lv)
+            x2 = jax.random.normal(key, (2, m, c), jnp.bfloat16)
+            w = jax.random.normal(key, (27, c, c), jnp.bfloat16) * 0.05
+
+            @jax.jit
+            def run_subm(x2, nbr, w):
+                def body(acc, i):
+                    x = jax.lax.dynamic_index_in_dim(x2, i % 2, keepdims=False)
+                    out = sparse_conv.subm_conv(x, nbr, w)
+                    return acc + out[0, 0].astype(jnp.float32), None
+                acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(STEPS))
+                return acc
+            timed_scan(f"subm_fwd_L{lv}_c{c}_m{m}", run_subm, x2, lp.subm_nbr, w)
+
+            @jax.jit
+            def run_subm_g(x2, nbr, w):
+                def one(x, w):
+                    return jnp.sum(sparse_conv.subm_conv(x, nbr, w).astype(jnp.float32))
+
+                def body(acc, i):
+                    x = jax.lax.dynamic_index_in_dim(x2, i % 2, keepdims=False)
+                    gx, gw = jax.grad(one, argnums=(0, 1))(x, w)
+                    return acc + gx[0, 0].astype(jnp.float32) + gw[0, 0, 0].astype(jnp.float32), None
+                acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(STEPS))
+                return acc
+            timed_scan(f"subm_grad_L{lv}_c{c}_m{m}", run_subm_g, x2, lp.subm_nbr, w)
+
+        # down + inverse conv at the L0->L1 transition
+        lp0 = plan0.levels[0]
+        c_in, c_out = 32, 64
+        m_fine = lp0.subm_nbr.shape[1]
+        m_coarse = lp0.down_nbr.shape[1]
+        key = jax.random.PRNGKey(99)
+        xf2 = jax.random.normal(key, (2, m_fine, c_in), jnp.bfloat16)
+        wd = jax.random.normal(key, (8, c_in, c_out), jnp.bfloat16) * 0.05
+
+        @jax.jit
+        def run_down_g(xf2, w):
+            def one(x, w):
+                out = sparse_conv.down_conv(x, lp0.down_nbr, lp0.parent, lp0.child_offset, w)
+                return jnp.sum(out.astype(jnp.float32))
+
+            def body(acc, i):
+                x = jax.lax.dynamic_index_in_dim(xf2, i % 2, keepdims=False)
+                gx, gw = jax.grad(one, argnums=(0, 1))(x, w)
+                return acc + gx[0, 0].astype(jnp.float32) + gw[0, 0, 0].astype(jnp.float32), None
+            acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(STEPS))
+            return acc
+        timed_scan(f"down_grad_L0_m{m_coarse}", run_down_g, xf2, wd)
+
+        xc2 = jax.random.normal(key, (2, m_coarse, c_out), jnp.bfloat16)
+        wi = jax.random.normal(key, (8, c_out, c_in), jnp.bfloat16) * 0.05
+
+        @jax.jit
+        def run_inv_g(xc2, w):
+            def one(x, w):
+                out = sparse_conv.inverse_conv(x, lp0.parent, lp0.child_offset, lp0.down_nbr, w)
+                return jnp.sum(out.astype(jnp.float32))
+
+            def body(acc, i):
+                x = jax.lax.dynamic_index_in_dim(xc2, i % 2, keepdims=False)
+                gx, gw = jax.grad(one, argnums=(0, 1))(x, w)
+                return acc + gx[0, 0].astype(jnp.float32) + gw[0, 0, 0].astype(jnp.float32), None
+            acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(STEPS))
+            return acc
+        timed_scan(f"inv_grad_L0_m{m_fine}", run_inv_g, xc2, wi)
 
     print(json.dumps({"summary": {k: round(v, 1) for k, v in results.items()},
                       "batch": BATCH, "steps": STEPS}))

@@ -191,3 +191,45 @@ def test_s3dis_coverage_matches_reference(ref_modules):
     assert np.allclose(res["mWCov"], mwcov, atol=1e-9)
     assert np.allclose(res["mPrec"], np.nanmean(prec), atol=1e-9)
     assert np.allclose(res["mRec"], np.nanmean(rec), atol=1e-9)
+
+
+def test_prec_recall_matches_reference(ref_modules):
+    """print_prec_recall parity: capture the rows the reference hands to its
+    table printer and compare with our intersection-derived prec_recall()."""
+    RefInstanceEvaluator, _ = ref_modules
+    from tpu3dwsis.eval.instance_ap import InstanceAPEvaluator
+
+    ref = RefInstanceEvaluator(class_labels=CLASS_LABELS, class_ids=CLASS_IDS)
+    ours = InstanceAPEvaluator(CLASS_IDS, CLASS_LABELS)
+    for s in range(4):
+        masks, labels, confs, gt_ids = _make_fixture(seed=200 + s)
+        ref.assign(
+            f"scene{s}",
+            {"label_id": labels, "conf": confs, "mask": masks.astype(np.int64)},
+            gt_ids,
+        )
+        ours.process(f"scene{s}", masks, labels, confs, gt_ids)
+
+    captured = {}
+    utils_stub = sys.modules["utils"]
+    orig_table = utils_stub.table
+
+    def capture_table(rows, **kwargs):
+        captured.setdefault("rows", rows)
+        return ""
+
+    utils_stub.table = capture_table
+    import logging
+
+    ref.logger = logging.getLogger("ref_prec_recall_crosscheck")
+    try:
+        ref.print_prec_recall(threshold=0.5)
+    finally:
+        utils_stub.table = orig_table
+
+    res = ours.prec_recall(0.5)
+    assert "rows" in captured and len(captured["rows"]) == len(CLASS_LABELS)
+    for label_padded, pre, rec in captured["rows"]:
+        label = label_padded.strip()
+        assert np.allclose(res["classes"][label]["precision"], pre, atol=1e-9), label
+        assert np.allclose(res["classes"][label]["recall"], rec, atol=1e-9), label

@@ -36,7 +36,10 @@ def make_tables(m, k, rng, plane=3000, miss_rate=0.35):
     return jnp.asarray(nbr)
 
 
-@pytest.mark.parametrize("c,tile,window", [(32, 256, 1024), (64, 128, 512)])
+@pytest.mark.parametrize(
+    "c,tile,window",
+    [(32, 256, 1024), (64, 128, 512), (96, 256, 512), (160, 128, 512)],
+)
 def test_fwd_matches_oracle(c, tile, window):
     rng = np.random.default_rng(0)
     m, k = 4096, 27
@@ -84,6 +87,27 @@ def test_bwd_matches_autodiff():
 
     dx_ref, dw_ref = jax.grad(loss, argnums=(0, 1))(feats, w)
     dx, dw = subm_conv_bwd(feats, g, nbr, w, tile=256, window=1024, interpret=True)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_ref), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dw), np.asarray(dw_ref), rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("c", [96, 160])
+def test_bwd_unpacked_channels(c):
+    """96/160-channel levels (p=1, unpacked windows) through the fused
+    backward — the reference ladder's L2/L4 widths
+    (``modules/model/backbone_3D_WSIS.py:49-50``)."""
+    rng = np.random.default_rng(6)
+    m = 1024
+    nbr = real_table(m, rng, shape=(32, 32, 32))
+    feats = jnp.asarray(rng.standard_normal((m, c)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((27, c, c)).astype(np.float32) * 0.1)
+    g = jnp.asarray(rng.standard_normal((m, c)).astype(np.float32))
+
+    def loss(feats, w):
+        return jnp.sum(gather_conv(feats, nbr, w) * g)
+
+    dx_ref, dw_ref = jax.grad(loss, argnums=(0, 1))(feats, w)
+    dx, dw = subm_conv_bwd(feats, g, nbr, w, tile=128, window=512, interpret=True)
     np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_ref), rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(dw), np.asarray(dw_ref), rtol=2e-4, atol=2e-4)
 
@@ -163,3 +187,43 @@ def test_fwd_bf16_small_window_forces_far_path():
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref, np.float32), rtol=3e-2, atol=3e-2
     )
+
+
+def test_far_correction_overflow_runs_extra_rounds():
+    """More far rows than one correction batch (n_far > cap): _far_rounds
+    must keep iterating instead of silently dropping contributions."""
+    from tpu3dwsis.ops.pallas_spconv2 import _plan_windows, derive_pos
+
+    rng = np.random.default_rng(7)
+    m, k, c = 2048, 27, 32
+    tile, window = 128, 256
+    # monotone tables advancing ~4 source rows per output row: each 128-row
+    # tile spans ~512 source rows, so over half the hits fall past a
+    # 256-row window -> n_far ~ k*m/2 >> cap (= max(4096, m//32) = 4096)
+    base = 4 * np.arange(m, dtype=np.int64)
+    nbr_np = np.empty((k, m), np.int32)
+    for kk in range(k):
+        v = base + kk
+        nbr_np[kk] = np.where(v >= m, m, v)
+    nbr = jnp.asarray(nbr_np)
+
+    p = 128 // c
+    pos, ok = derive_pos(nbr, m)
+    mp = -(-m // p) * p
+    _, far = _plan_windows(pos, ok, tile, window, p, mp)
+    n_far = int(np.asarray(far).sum())
+    assert n_far > 4096, f"construction failed to overflow: n_far={n_far}"
+
+    feats = jnp.asarray(rng.standard_normal((m, c)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((k, c, c)).astype(np.float32) * 0.2)
+    ref = gather_conv(feats, nbr, w)
+    out = subm_conv_fwd(feats, nbr, w, tile=tile, window=window, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+    from tpu3dwsis.ops.pallas_spconv2 import table_weight_grad
+
+    tile_side = jnp.asarray(rng.standard_normal((m, 64)).astype(np.float32))
+    got = table_weight_grad(feats, tile_side, nbr, tile=tile, window=window, interpret=True)
+    feats_null = jnp.concatenate([feats, jnp.zeros((1, c))])
+    refw = jnp.stack([tile_side.T @ feats_null[nbr[kk]] for kk in range(k)])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(refw), rtol=2e-4, atol=2e-4)

@@ -36,14 +36,34 @@ def test_evaluate_dataset_s3dis_protocol():
     pre = preprocess(b0, statics)
     variables = model.init(jax.random.PRNGKey(0), b0, pre, train=False)
 
-    metrics = evaluate_dataset(
-        model,
-        variables["params"],
-        variables["batch_stats"],
-        ds,
-        dataset_kind="s3dis",
-    )
-    for key in ["point_miou", "mAP", "mAP50", "mAP25", "mCov", "mWCov", "mPrec", "mRec"]:
-        assert key in metrics, f"missing {key}: {metrics}"
-        v = metrics[key]
-        assert v != v or np.isfinite(v)  # nan allowed (untrained), inf not
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as dump_dir:
+        metrics = evaluate_dataset(
+            model,
+            variables["params"],
+            variables["batch_stats"],
+            ds,
+            dataset_kind="s3dis",
+            dump_dir=dump_dir,
+        )
+        for key in ["point_miou", "mAP", "mAP50", "mAP25", "prec50", "rec50",
+                    "mCov", "mWCov", "mPrec", "mRec"]:
+            assert key in metrics, f"missing {key}: {metrics}"
+            v = metrics[key]
+            assert v != v or np.isfinite(v)  # nan allowed (untrained), inf not
+
+        # prediction dumps written and loadable (visualize.py)
+        import os
+
+        for scene in scenes:
+            dump = np.load(os.path.join(dump_dir, f"{scene.name}.npz"))
+            k = len(dump["class_indices"])
+            assert dump["confidences"].shape == (k,)
+            if k:
+                masks = np.unpackbits(dump["masks"], axis=-1)[:, : int(dump["n_points"])]
+                assert masks.shape == (k, scene.num_points)
+            ply = os.path.join(dump_dir, f"{scene.name}_inst.ply")
+            with open(ply, "rb") as f:
+                head = f.read(200).decode("ascii", "ignore")
+            assert f"element vertex {scene.num_points}" in head

@@ -129,3 +129,23 @@ def test_propagate_current_to_neighbor_extends_one_ring():
     labeled0 = set(np.where(st.base_sem != IGNORE)[0])
     for sp in newly[:20]:
         assert nbr_of.get(int(sp), set()) & labeled0
+
+
+def test_count_voxels_exact_where_product_sum_hash_collides():
+    from tpu3dwsis.infer.clustering import _count_voxels
+
+    # voxel coords (0,0,4001) and (3730,3027,0) satisfy
+    # 3730*73856093 + 3027*19349663 - 4001*83492791 == 0, so the reference
+    # tests' product-sum hash maps both to ONE key; the exact packed count
+    # must still see two voxels (this count drives the fragment/primary
+    # split at fragment_ratio * occupancy).
+    a, b, c = 73856093, 19349663, 83492791
+    assert 3730 * a + 3027 * b - 4001 * c == 0
+    scale = 50.0
+    v = np.array([[0, 0, 4001], [3730, 3027, 0]], np.float64)
+    xyz = (v + 0.5) / scale
+    assert np.array_equal(np.floor(xyz * scale).astype(np.int64), v.astype(np.int64))
+    assert _count_voxels(xyz, scale) == 2
+    # degenerate cases
+    assert _count_voxels(np.zeros((0, 3)), scale) == 0
+    assert _count_voxels(np.array([[1.0, 2.0, 3.0]] * 5), scale) == 1

@@ -210,6 +210,45 @@ class InstanceAPEvaluator:
         step = np.convolve(r_conv, [-0.5, 0, 0.5], "valid")
         return float(np.dot(precision, step))
 
+    def prec_recall(self, threshold: float = 0.5) -> Dict[str, object]:
+        """Per-class precision/recall at one IoU threshold — the table the
+        reference prints for S3DIS (``print_prec_recall``,
+        ``ins_seg_evaluator.py:351-431``, invoked from ``test_s3dis.py``).
+
+        A prediction is a TP when ANY same-class GT instance overlaps it
+        above ``threshold`` (no GT dedup — several predictions may claim one
+        GT); Total counts every GT instance of the class (no min-size
+        filter).  Computed from the stored intersections; pairs with zero
+        intersection have IoU 0 and cannot pass the threshold, so skipping
+        them matches the reference's full mask cross-product."""
+        per: Dict[str, dict] = {}
+        pre_all, rec_all = [], []
+        for label in self.class_labels:
+            tp = fp = total = 0
+            for m in self.matches.values():
+                for pred in m["pred"][label]:
+                    hit = any(
+                        g["intersection"]
+                        / (g["instance_count"] + pred["instance_count"]
+                           - g["intersection"] + 1e-8)
+                        > threshold
+                        for g in pred["matched_gt"]
+                    )
+                    tp += int(hit)
+                    fp += int(not hit)
+                total += len(m["gt"][label])
+            pre = tp / (tp + fp + 1e-8)
+            rec = tp / (total + 1e-8)
+            per[label] = {"precision": pre, "recall": rec,
+                          "tp": tp, "fp": fp, "total": total}
+            pre_all.append(pre)
+            rec_all.append(rec)
+        return {
+            "precision": float(np.mean(pre_all)) if pre_all else 0.0,
+            "recall": float(np.mean(rec_all)) if rec_all else 0.0,
+            "classes": per,
+        }
+
     def evaluate(self) -> Dict[str, object]:
         ap = np.zeros((len(self.class_labels), len(OVERLAPS)))
         for oi, ov in enumerate(OVERLAPS):

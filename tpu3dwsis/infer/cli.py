@@ -42,12 +42,16 @@ def evaluate_dataset(
     bfs_ratio: float = 0.25,
     with_instances: bool = True,
     dataset_kind: str = "scannetv2",
+    dump_dir: str | None = None,
 ):
     """Run the full test protocol over a dataset; returns a metrics dict.
 
     ``dataset_kind='s3dis'`` switches to the S3DIS protocol: BFS ratio 0.8,
     ceiling/floor/wall post-processing, and the dual instance evaluation
     (coverage metrics + ScanNet-style AP) of ``test_s3dis.py``.
+
+    ``dump_dir`` writes per-scene prediction dumps (instance/semantic PLYs +
+    npz masks) like the reference's ``evaluation/visualization`` scripts.
     """
     from .batched import batched_scene_outputs
 
@@ -131,6 +135,13 @@ def evaluate_dataset(
                 res.confidences,
                 gt_ids,
             )
+            if dump_dir is not None:
+                from .visualize import dump_scene_instances
+
+                dump_scene_instances(
+                    dump_dir, scene.name, scene.xyz, res.masks,
+                    res.class_indices, res.confidences, point_sem_pred=point_pred,
+                )
         done += 1
         log.info("evaluated %s (%d/%d)", scene.name, done, len(dataset.scenes))
 
@@ -144,6 +155,16 @@ def evaluate_dataset(
         metrics.update(
             {"mAP": ap["all_ap"], "mAP50": ap["all_ap_50"], "mAP25": ap["all_ap_25"]}
         )
+        # precision/recall@0.5 table (the reference prints this on the S3DIS
+        # eval path, ins_seg_evaluator.py:351-431; cheap, so report always)
+        pr = ap_ev.prec_recall(0.5)
+        metrics.update({"prec50": pr["precision"], "rec50": pr["recall"]})
+        for label, row in pr["classes"].items():
+            log.info(
+                "prec/recall@0.5 %-16s prec=%.3f rec=%.3f (tp=%d fp=%d total=%d)",
+                label, row["precision"], row["recall"],
+                row["tp"], row["fp"], row["total"],
+            )
         if is_s3dis:
             metrics.update(cov_ev.evaluate())
     return metrics
@@ -154,6 +175,8 @@ def main(argv=None):
     p.add_argument("--config", required=True)
     p.add_argument("--checkpoint", required=True)
     p.add_argument("--split", default="val")
+    p.add_argument("--dump-dir", default=None,
+                   help="write per-scene instance/semantic PLY + npz dumps here")
     p.add_argument("opts", nargs="*")
     args = p.parse_args(argv)
 
@@ -199,7 +222,8 @@ def main(argv=None):
     log.info("loaded checkpoint %s (%s)", args.checkpoint, meta)
 
     metrics = evaluate_dataset(
-        model, params, batch_stats, dataset, dataset_kind=cfg.data.dataset
+        model, params, batch_stats, dataset, dataset_kind=cfg.data.dataset,
+        dump_dir=args.dump_dir,
     )
     for k, v in metrics.items():
         log.info("%s: %.4f", k, v)

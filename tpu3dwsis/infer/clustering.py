@@ -39,8 +39,16 @@ class ClusterResult:
 
 
 def _count_voxels(xyz: np.ndarray, scale: float) -> int:
+    """Exact occupied-voxel count (``test_scannetv2.py:386-390`` re-runs
+    ``voxelization_idx`` per mask).  Packs shifted coords into one int64 key
+    with per-axis strides — collision-free, unlike a product-sum hash (this
+    count feeds the ``fragment_ratio * occupancy`` primary/fragment split)."""
+    if len(xyz) == 0:
+        return 0
     v = np.floor(xyz * scale).astype(np.int64)
-    return len(np.unique(v[:, 0] * 73856093 + v[:, 1] * 19349663 + v[:, 2] * 83492791))
+    v -= v.min(axis=0)
+    span = v.max(axis=0) + 1
+    return len(np.unique((v[:, 0] * span[1] + v[:, 1]) * span[2] + v[:, 2]))
 
 
 def cluster_scene(

@@ -76,7 +76,7 @@ def _fwd_kernel(c, lo_ref, pos_ref, ok_ref, xp_hbm, w_ref, out_ref, acc_ref, win
     k_total = w_ref.shape[0]
     tile = pos_ref.shape[1]
     wp = win_ref.shape[1]  # packed window rows
-    p = 128 // c
+    p = max(1, 128 // c)
 
     def dma(k, buf):
         lo = lo_ref[k, t]
@@ -136,7 +136,7 @@ def _pack(feats: jax.Array, p: int):
 def _fwd_call(feats, pos, ok, weights, lo, tile, window, interpret):
     k, m = pos.shape
     c, d = weights.shape[1], weights.shape[2]
-    p = 128 // c
+    p = max(1, 128 // c)
     nt = m // tile
     xp, mp = _pack(feats, p)
 
@@ -165,13 +165,14 @@ def _fwd_call(feats, pos, ok, weights, lo, tile, window, interpret):
     )(lo, pos, ok.astype(jnp.int32), xp, weights)
 
 
-def _compact_indices(flat: jax.Array, cap: int, fill: int) -> jax.Array:
-    """Flat indices of True entries, padded with ``fill`` — via cumsum +
-    scatter.  ``jnp.nonzero(size=...)`` lowers to a full sort of the mask
-    (hundreds of ms at 25M elements); this is three streaming passes."""
+def _compact_indices(flat: jax.Array, cap: int, fill: int, base=0) -> jax.Array:
+    """Flat indices of the True entries with rank in ``[base, base+cap)``,
+    padded with ``fill`` — via cumsum + scatter.  ``jnp.nonzero(size=...)``
+    lowers to a full sort of the mask (hundreds of ms at 25M elements); this
+    is three streaming passes."""
     n = flat.shape[0]
     rank = jnp.cumsum(flat.astype(jnp.int32)) - 1
-    slot = jnp.where(flat & (rank < cap), rank, cap)
+    slot = jnp.where(flat & (rank >= base) & (rank < base + cap), rank - base, cap)
     return (
         jnp.full((cap + 1,), fill, jnp.int32)
         .at[slot]
@@ -179,26 +180,48 @@ def _compact_indices(flat: jax.Array, cap: int, fill: int) -> jax.Array:
     )
 
 
+def _far_rounds(flat, cap, carry, round_fn):
+    """Run ``round_fn(idx, carry)`` over capacity-sized batches of far rows
+    until every far (k, m) pair is processed — exact regardless of how many
+    rows the windows miss (no silent drops past the capacity).  The common
+    case (n_far <= cap, usually n_far == 0) runs at most one round."""
+    n_far = jnp.sum(flat.astype(jnp.int32))
+    fill = flat.shape[0]
+
+    def body(state):
+        base, c = state
+        idx = _compact_indices(flat, cap, fill, base)
+        return base + cap, round_fn(idx, c)
+
+    _, carry = jax.lax.while_loop(lambda s: s[0] < n_far, body, (jnp.int32(0), carry))
+    return carry
+
+
 def _far_correction_fwd(out, feats, nbr, weights, far):
     """Add the contributions of rows whose neighbor fell outside the window:
-    compact the (rare) far (k, m) pairs to a fixed-size list, gather, matmul
-    per-row, scatter-add.  Capacity M//8 is ~50x any observed span overflow;
-    overflowing it would drop contributions, so keep it generous."""
+    compact the (rare) far (k, m) pairs into fixed-size batches, gather,
+    matmul per-row, scatter-add.  Batches of ``max(4096, M//32)`` repeat
+    until all far rows are handled (``_far_rounds``), so overflow costs an
+    extra round instead of corrupting the output."""
     k, m = nbr.shape
     cap = max(4096, m // 32)
-    flat = far.reshape(-1)
-    idx = _compact_indices(flat, cap, k * m)
-    kk = jnp.minimum(idx // m, k - 1)
-    mm = jnp.where(idx < k * m, idx % m, m)  # m = dropped row
-    src = jnp.where(idx < k * m, nbr[kk, jnp.minimum(mm, m - 1)], feats.shape[0] - 1)
-    g = feats[src].astype(jnp.float32)  # [cap, C]
     c, d = weights.shape[1], weights.shape[2]
-    wsel = weights.reshape(k, c * d)[kk].astype(jnp.float32).reshape(cap, c, d)
-    contrib = jnp.einsum("fc,fcd->fd", g, wsel)
-    live = (idx < k * m)[:, None]
-    out_f = out.astype(jnp.float32)
-    out_f = jnp.concatenate([out_f, jnp.zeros((1, out.shape[1]), jnp.float32)])
-    out_f = out_f.at[mm].add(jnp.where(live, contrib, 0.0))
+    flat = far.reshape(-1)
+    out_f = jnp.concatenate(
+        [out.astype(jnp.float32), jnp.zeros((1, out.shape[1]), jnp.float32)]
+    )
+
+    def one_round(idx, acc):
+        kk = jnp.minimum(idx // m, k - 1)
+        mm = jnp.where(idx < k * m, idx % m, m)  # m = dropped row
+        src = jnp.where(idx < k * m, nbr[kk, jnp.minimum(mm, m - 1)], feats.shape[0] - 1)
+        g = feats[src].astype(jnp.float32)  # [cap, C]
+        wsel = weights.reshape(k, c * d)[kk].astype(jnp.float32).reshape(cap, c, d)
+        contrib = jnp.einsum("fc,fcd->fd", g, wsel)
+        live = (idx < k * m)[:, None]
+        return acc.at[mm].add(jnp.where(live, contrib, 0.0))
+
+    out_f = _far_rounds(flat, cap, out_f, one_round)
     return out_f[:m].astype(out.dtype)
 
 
@@ -213,7 +236,7 @@ def subm_conv_fwd(
     """Windowed-DMA submanifold conv forward (exact; see module docstring)."""
     k, m = nbr.shape
     c = feats.shape[1]
-    p = 128 // c
+    p = max(1, 128 // c)
     pos, ok = derive_pos(nbr, feats.shape[0])
     mp = -(-feats.shape[0] // p) * p  # packing follows the gather SOURCE
     lo, far = _plan_windows(pos, ok, tile, window, p, mp)
@@ -234,7 +257,7 @@ def _bwd_kernel(c, lo_ref, pos_ref, ok_ref, gp_hbm, wt_ref, x_ref, dx_ref, dw_re
     tile = pos_ref.shape[1]
     wp = win_ref.shape[1]
     d = wt_ref.shape[1]
-    p = 128 // d  # gp packing follows grad channels D
+    p = max(1, 128 // d)  # gp packing follows grad channels D
 
     @pl.when(t == 0)
     def _():
@@ -294,7 +317,7 @@ def _bwd_call(x, g, pos, ok, w_flipT, lo, tile, window, interpret):
     k, m = pos.shape
     c = x.shape[1]
     d = g.shape[1]
-    p = 128 // d
+    p = max(1, 128 // d)
     nt = m // tile
     gp, mp = _pack(g, p)
 
@@ -339,7 +362,7 @@ def _dw_kernel(lo_ref, pos_ref, ok_ref, src_hbm, x_ref, dw_ref, win_ref, sem):
     tile = pos_ref.shape[1]
     wp = win_ref.shape[1]
     cs = dw_ref.shape[2]  # gather-source channels
-    p = 128 // cs
+    p = max(1, 128 // cs)
 
     @pl.when(t == 0)
     def _():
@@ -389,7 +412,7 @@ def _dw_call(src, x, pos, ok, lo, tile, window, interpret):
     k, m = pos.shape
     ct = x.shape[1]  # tile-side channels
     cs = src.shape[1]  # gather-source channels
-    p = 128 // cs
+    p = max(1, 128 // cs)
     nt = m // tile
     sp, _ = _pack(src, p)
 
@@ -430,7 +453,7 @@ def table_weight_grad(
     windowed + exact (far rows corrected in XLA)."""
     k, m = nbr.shape
     cs = gather_src.shape[1]
-    p = 128 // cs
+    p = max(1, 128 // cs)
     pos, ok = derive_pos(nbr, gather_src.shape[0])
     mp = -(-gather_src.shape[0] // p) * p
     lo, far = _plan_windows(pos, ok, tile, window, p, mp)
@@ -438,20 +461,22 @@ def table_weight_grad(
 
     cap = max(4096, m // 32)
     flat = far.reshape(-1)
-    idx = _compact_indices(flat, cap, k * m)
-    live = idx < k * m
-    kk = jnp.minimum(idx // m, k - 1)
-    mm = jnp.where(live, idx % m, m)
-    src = jnp.where(live, nbr[kk, jnp.minimum(mm, m - 1)], gather_src.shape[0] - 1)
-    g_far = jnp.where(live[:, None], gather_src[src].astype(jnp.float32), 0.0)
     x_pad = jnp.concatenate(
         [tile_side, jnp.zeros((1, tile_side.shape[1]), tile_side.dtype)]
     )
-    x_far = x_pad[mm].astype(jnp.float32)
-    dw_far = jax.ops.segment_sum(
-        jnp.einsum("ft,fs->fts", x_far, g_far), kk, num_segments=k
-    )
-    return dw + dw_far
+
+    def one_round(idx, acc):
+        live = idx < k * m
+        kk = jnp.minimum(idx // m, k - 1)
+        mm = jnp.where(live, idx % m, m)
+        src = jnp.where(live, nbr[kk, jnp.minimum(mm, m - 1)], gather_src.shape[0] - 1)
+        g_far = jnp.where(live[:, None], gather_src[src].astype(jnp.float32), 0.0)
+        x_far = x_pad[mm].astype(jnp.float32)
+        return acc + jax.ops.segment_sum(
+            jnp.einsum("ft,fs->fts", x_far, g_far), kk, num_segments=k
+        )
+
+    return _far_rounds(flat, cap, dw, one_round)
 
 
 def subm_conv_bwd(
@@ -468,7 +493,7 @@ def subm_conv_bwd(
     dW[K-1-k] = x^T @ g'_k."""
     k, m = nbr.shape
     d = g.shape[1]
-    p = 128 // d
+    p = max(1, 128 // d)
     pos, ok = derive_pos(nbr, m)
     mp = -(-m // p) * p
     lo, far = _plan_windows(pos, ok, tile, window, p, mp)
@@ -478,26 +503,28 @@ def subm_conv_bwd(
     # far corrections (rare rows): dx via gather+matmul, dW via outer products
     cap = max(4096, m // 32)
     flat = far.reshape(-1)
-    idx = _compact_indices(flat, cap, k * m)
-    live = idx < k * m
-    kk = jnp.minimum(idx // m, k - 1)
-    mm = jnp.where(live, idx % m, m)
-    src = jnp.where(live, nbr[kk, jnp.minimum(mm, m - 1)], g.shape[0] - 1)
-    gk_far = jnp.where(live[:, None], g[src].astype(jnp.float32), 0.0)  # [cap, D]
     wT = jnp.flip(weights, axis=0).transpose(0, 2, 1).astype(jnp.float32)
-    contrib = jnp.einsum("fd,fdc->fc", gk_far, wT[kk])
-    dx_f = jnp.concatenate([dx.astype(jnp.float32), jnp.zeros((1, dx.shape[1]), jnp.float32)])
-    dx = dx_f.at[mm].add(contrib)[:m].astype(dx.dtype)
-    x_far = jnp.where(
-        live[:, None],
-        jnp.concatenate([feats, jnp.zeros((1, feats.shape[1]), feats.dtype)])[
-            jnp.minimum(mm, m)
-        ].astype(jnp.float32),
-        0.0,
+    x_pad = jnp.concatenate([feats, jnp.zeros((1, feats.shape[1]), feats.dtype)])
+    dx_f = jnp.concatenate(
+        [dx.astype(jnp.float32), jnp.zeros((1, dx.shape[1]), jnp.float32)]
     )
-    dw_far = jax.ops.segment_sum(
-        jnp.einsum("fc,fd->fcd", x_far, gk_far), kk, num_segments=k
-    )
-    dw_flip = dw_flip + dw_far
+
+    def one_round(idx, carry):
+        dx_acc, dw_acc = carry
+        live = idx < k * m
+        kk = jnp.minimum(idx // m, k - 1)
+        mm = jnp.where(live, idx % m, m)
+        src = jnp.where(live, nbr[kk, jnp.minimum(mm, m - 1)], g.shape[0] - 1)
+        gk_far = jnp.where(live[:, None], g[src].astype(jnp.float32), 0.0)  # [cap, D]
+        contrib = jnp.einsum("fd,fdc->fc", gk_far, wT[kk])
+        dx_acc = dx_acc.at[mm].add(contrib)
+        x_far = jnp.where(live[:, None], x_pad[jnp.minimum(mm, m)].astype(jnp.float32), 0.0)
+        dw_acc = dw_acc + jax.ops.segment_sum(
+            jnp.einsum("fc,fd->fcd", x_far, gk_far), kk, num_segments=k
+        )
+        return dx_acc, dw_acc
+
+    dx_f, dw_flip = _far_rounds(flat, cap, (dx_f, dw_flip), one_round)
+    dx = dx_f[:m].astype(dx.dtype)
     dw = jnp.flip(dw_flip, axis=0)  # un-flip: dw[K-1-k] accumulated at row k
     return dx, dw.astype(weights.dtype)

@@ -175,12 +175,13 @@ _PALLAS_WINDOW = int(_os.environ.get("TPU3DWSIS_CONV_WINDOW", "2048"))
 
 
 def _pallas_ok(gather_channels, m_table: int, m_src: int) -> bool:
-    """Kernel eligibility: every listed gather-source channel count must
-    pack into 128 lanes, the output-table rows must tile evenly, and the
-    gather source must be at least one window tall."""
+    """Kernel eligibility: every listed gather-source channel count must be
+    lane-aligned (widths dividing 128 pack ``p = 128/C`` rows per window row;
+    wider ones run unpacked at ``p = 1``), the output-table rows must tile
+    evenly, and the gather source must be at least one window tall."""
     if _CONV_IMPL == "xla":
         return False
-    if any(128 % c for c in gather_channels):
+    if any(c % 32 or c > 512 for c in gather_channels):
         return False
     if m_table % _PALLAS_TILE or m_src < _PALLAS_WINDOW:
         return False
