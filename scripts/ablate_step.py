@@ -211,10 +211,13 @@ def main():
                   (g_b, state.opt_state, state.params), reps=8)
 
     if "train" in WHAT:
-        # identical program to bench.py's step (donate, cache-shared)
+        # identical program to bench.py's step (donate, cache-shared).
+        # Donation consumes the input buffers, so hand it a COPY of the state
+        # (later components still read state.params).
         step = make_train_step(model, tx, statics, loss_cfg, flags, donate=True)
+        state_c = jax.tree_util.tree_map(jnp.array, state)
         t0 = time.perf_counter()
-        state2, out = step(state, batch0)
+        state2, out = step(state_c, batch0)
         float(out["loss"])
         compile_t = time.perf_counter() - t0
         state2, out = step(state2, batch1)

@@ -126,6 +126,15 @@ def global_batch(
 
     k = jax.process_count()
     pi = jax.process_index() if process_index is None else process_index
+    if k > 1:
+        # rebasing is only correct if host p's rows land in block p: the mesh
+        # must enumerate devices process-contiguously in process order.  A
+        # violation would silently scramble the cross-host index rebasing.
+        procs = [d.process_index for d in mesh.devices.flat]
+        starts = [procs.index(p) for p in sorted(set(procs))]
+        assert procs == sorted(procs) and starts == sorted(starts), (
+            f"mesh device order is not process-contiguous: {procs}"
+        )
     local = rebase_arrays(arrays, statics, pi, k)
     sharding = NamedSharding(mesh, P("data"))
 

@@ -40,6 +40,11 @@ def merge_lookup(table: jax.Array, queries: jax.Array, chunk: int = 256):
     Returns ``(pos, found)`` with :func:`tpu3dwsis.ops.hashgrid.lookup`
     semantics: ``pos[i]`` = ``searchsorted(table, q, side='left')`` clipped
     to ``M-1``; ``found[i]`` = exact hit.  Both inputs sorted ascending.
+
+    Precondition: non-sentinel table keys must be UNIQUE (a PAD-sentinel
+    tail is fine — queries can never equal it).  With duplicate keys the
+    counting formulation below returns the LAST equal index, not the
+    left-most one; voxel key tables satisfy uniqueness by construction.
     """
     m = table.shape[0]
     q = queries.shape[0]

@@ -171,7 +171,13 @@ import os as _os
 
 _CONV_IMPL = _os.environ.get("TPU3DWSIS_CONV", "auto")  # auto | xla | pallas
 _PALLAS_TILE = int(_os.environ.get("TPU3DWSIS_CONV_TILE", "256"))
-_PALLAS_WINDOW = int(_os.environ.get("TPU3DWSIS_CONV_WINDOW", "2048"))
+# Window length directly scales BOTH the kernel's DMA traffic and its one-hot
+# gather-matmul cost.  Measured on real bench-scene rulebooks
+# (scripts/far_fraction.py): submanifold tables have ZERO far rows at 512
+# (positions advance ~1 source row per output row), while down tables need
+# 2048 (each coarse row's 8 children span up to ~8x the tile in fine rows).
+_PALLAS_WINDOW = int(_os.environ.get("TPU3DWSIS_CONV_WINDOW", "512"))
+_PALLAS_WINDOW_DOWN = int(_os.environ.get("TPU3DWSIS_CONV_WINDOW_DOWN", "2048"))
 
 
 def _pallas_ok(gather_channels, m_table: int, m_src: int) -> bool:

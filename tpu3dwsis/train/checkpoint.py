@@ -98,6 +98,23 @@ def load_checkpoint(
     return new_state, payload.get("meta", {})
 
 
+def load_weak_from_checkpoint(path: str, weak_store: WeakLabelStore) -> bool:
+    """Restore only the weak-label state from a main checkpoint (used when
+    the caller must inspect ``meta`` — e.g. the saved process topology —
+    before deciding whether the stored shard is meaningful)."""
+    ckptr = ocp.PyTreeCheckpointer()
+    payload = ckptr.restore(os.path.abspath(path))
+    if "weak" not in payload:
+        return False
+    weak_store.state_from_arrays(
+        {
+            name: {k: np.asarray(v) for k, v in d.items()}
+            for name, d in payload["weak"].items()
+        }
+    )
+    return True
+
+
 def save_weak_sidecar(ckpt_path: str, rank: int, weak_store: WeakLabelStore):
     """Non-main hosts persist their scene shard's weak-label state next to
     the main checkpoint (each host trains a disjoint scene shard in

@@ -218,12 +218,32 @@ def main(argv=None):
         ckpt = latest_checkpoint(log_dir)
         if ckpt:
             is_main = jax.process_index() == 0
-            trainer.state, meta = load_checkpoint(
-                ckpt, trainer.state, train_ds.weak_store if is_main else None
-            )
-            if not is_main:
+            trainer.state, meta = load_checkpoint(ckpt, trainer.state, None)
+            saved_procs = int(meta.get("process_count", 1))
+            if saved_procs != jax.process_count():
+                # weak-label shards are per-host: a topology change makes the
+                # stored shards meaningless.  Keep params/opt_state, keep the
+                # freshly acquired base labels from build_world instead of
+                # restoring a wrong shard.
+                logger.warning(
+                    "checkpoint written with %d processes, resuming with %d: "
+                    "weak-label state NOT restored",
+                    saved_procs, jax.process_count(),
+                )
+            elif is_main:
+                from .checkpoint import load_weak_from_checkpoint
+
+                load_weak_from_checkpoint(ckpt, train_ds.weak_store)
+            else:
                 from .checkpoint import load_weak_sidecar
 
+                sidecar = f"{ckpt}_weak{jax.process_index()}"
+                if not os.path.isdir(sidecar):
+                    raise FileNotFoundError(
+                        f"multi-host resume: weak-label sidecar {sidecar} is "
+                        f"missing (checkpoint saved with process_count="
+                        f"{saved_procs})"
+                    )
                 load_weak_sidecar(ckpt, jax.process_index(), train_ds.weak_store)
             trainer.apply_resume_meta(meta)
             logger.info(

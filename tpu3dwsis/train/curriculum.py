@@ -147,7 +147,12 @@ class Trainer:
         batch = to_scene_batch(arrays)
         from ..nn.network import preprocess
 
-        pre = preprocess(batch, self.statics, use_coords=self.model.cfg.use_coords)
+        # init with the DATASET's statics (per-host capacities): the collate
+        # above produced host-local null markers (point_sp == S_local,
+        # sp_scene == B_local) that must agree with the preprocess capacities.
+        # Only param shapes matter here, but mismatched markers would alias
+        # real slots of the global index space in multi-host mode.
+        pre = preprocess(batch, ds.statics, use_coords=self.model.cfg.use_coords)
         variables = self.model.init(jax.random.PRNGKey(self.cfg.seed), batch, pre, train=False)
         tx = make_optimizer(variables["params"])  # placeholder; re-made per stage
         self.state = init_train_state(variables["params"], variables["batch_stats"], tx)
@@ -224,6 +229,8 @@ class Trainer:
                             "epoch": epoch,
                             "stage": stage.name,
                             "global_step": self.global_step,
+                            # resume sanity: weak-label shards are per-host
+                            "process_count": jax.process_count(),
                             # exact-resume extras: data-order RNG mid-stream state
                             "rng_state": json.dumps(self.rng.bit_generator.state),
                         },
