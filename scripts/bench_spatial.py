@@ -98,6 +98,9 @@ def main():
     float(jnp.sum(outs["semantic_scores"][0, 0].astype(jnp.float32)))
     compile_t = time.perf_counter() - t0
 
+    # discard one execution (relay warm-up artifact), then time
+    outs = fwd(variables["params"], variables["batch_stats"], levels_dev, batches_dev)
+    float(jnp.sum(outs["semantic_scores"][0, 0].astype(jnp.float32)))
     t0 = time.perf_counter()
     acc = 0.0
     for _ in range(REPS):
@@ -106,7 +109,21 @@ def main():
     dt = (time.perf_counter() - t0) / REPS
     valid_points = int(np.asarray(arrays["point_valid"]).sum())
 
-    print(json.dumps({
+    # slab-occupancy spread + halo sizes per level (capacity honesty: wildly
+    # imbalanced slabs would blow the padded per-shard row capacity)
+    slab_stats = []
+    for l, lv in enumerate(sb.levels):
+        owned = np.asarray(lv.owned).sum(axis=1)
+        halo_cap = int(lv.recv_left.shape[1])
+        slab_stats.append({
+            "level": l,
+            "owned_min": int(owned.min()), "owned_max": int(owned.max()),
+            "owned_mean": int(owned.mean()),
+            "row_capacity": int(lv.valid.shape[1]),
+            "halo_capacity": halo_cap,
+        })
+
+    result = {
         "metric": "spatial_inference_mpts_per_sec",
         "value": round(valid_points / dt / 1e6, 3),
         "unit": "Mpts/s",
@@ -117,8 +134,14 @@ def main():
             "forward_s": round(dt, 3),
             "compile_s": round(compile_t, 1),
             "device": str(jax.devices()[0]),
+            "slabs": slab_stats,
         },
-    }))
+    }
+    print(json.dumps(result))
+    out_path = os.environ.get("SPATIAL_OUT")
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(result, f, indent=2)
 
 
 if __name__ == "__main__":

@@ -109,3 +109,47 @@ def test_spatial_forward_matches_single_device(world):
     ro, so = lexorder(ref_xyz), lexorder(sh_xyz)
     np.testing.assert_allclose(ref_xyz[ro], sh_xyz[so], atol=0)
     np.testing.assert_allclose(sh_scores[so], ref_scores[ro], rtol=5e-4, atol=5e-4)
+
+
+def test_spatial_forward_imbalanced_slabs(world):
+    """Pathological occupancy: warp x so ~all voxel mass sits in the lowest
+    x-band — boundary balancing + alignment then leaves some slabs nearly
+    empty.  The sharded forward must still equal single-device (VERDICT r2
+    #5: capacity/imbalance behavior was untested)."""
+    import dataclasses
+
+    statics, sc, arrays, model, variables, batch, ref = world
+    xyz = sc.xyz.copy()
+    x = xyz[:, 0]
+    lo, rng_ = float(x.min()), float(np.ptp(x))
+    u = (x - lo) / max(rng_, 1e-9)
+    xyz[:, 0] = lo + (u ** 10) * rng_  # concentrate ~all mass at the low end
+    sc2 = dataclasses.replace(sc, name="imbalanced", xyz=xyz.astype(np.float32))
+    lab = SceneLabels(sc2.sem, sc2.ins, sc2.sp_sem_gt, sc2.sp_ins_gt, sc2.sp_offset_gt)
+    arrays2 = collate([sc2], [lab], statics, np.random.default_rng(0), training=False)
+    batch2 = to_scene_batch(arrays2)
+    ref2 = model.apply(variables, batch2, preprocess(batch2, statics), train=False)
+
+    sb = build_spatial_batch(arrays2, statics.spatial_shape, statics.max_batch,
+                             n_shards=8, num_levels=BLOCKS)
+    owned = np.asarray(sb.levels[0].owned).sum(axis=1)
+    assert owned.max() > 3 * max(owned.min(), 1), f"not imbalanced: {owned}"
+
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:8]), ("space",))
+    outs = spatial_forward(model, variables["params"], variables["batch_stats"],
+                           sb, mesh, axis="space")
+
+    ref_valid = np.asarray(batch2.point_valid)
+    ref_xyz = np.asarray(batch2.point_xyz)[ref_valid]
+    ref_scores = np.asarray(ref2["semantic_scores"])[ref_valid]
+    sh_valid = np.asarray(sb.batches.point_valid).reshape(-1)
+    sh_xyz = np.asarray(sb.batches.point_xyz).reshape(-1, 3)[sh_valid]
+    sh_scores = np.asarray(outs["semantic_scores"]).reshape(-1, 20)[sh_valid]
+    assert len(sh_xyz) == len(ref_xyz)
+
+    def lexorder(a):
+        return np.lexsort((a[:, 2], a[:, 1], a[:, 0]))
+
+    ro, so = lexorder(ref_xyz), lexorder(sh_xyz)
+    np.testing.assert_allclose(ref_xyz[ro], sh_xyz[so], atol=0)
+    np.testing.assert_allclose(sh_scores[so], ref_scores[ro], rtol=5e-4, atol=5e-4)

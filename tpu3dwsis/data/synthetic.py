@@ -53,7 +53,7 @@ def make_room_scene(
     seed: int = 0,
     density: float = 2000.0,
     classes: int = 20,
-    sp_grid: float = 0.3,
+    sp_grid: float = 0.17,
     noise: float = 0.005,
     max_points: int = 250000,
     room_range=(2.6, 5.4),
@@ -65,8 +65,10 @@ def make_room_scene(
     was measured on (``/root/reference/train_scannetv2.py:780``): ~100-250k
     points on 2D surfaces (floor, walls, box furniture), so the scale-50
     voxel ladder shrinks ~4x per k2s2 level like a real scan, point density
-    ~2k/m2 (~2.2 cm spacing -> mostly-unique 2 cm voxels), ~15-35 instances,
-    and grid superpoints of a few hundred points each.
+    ~2k/m2 (~2.2 cm spacing -> mostly-unique 2 cm voxels), ~15-25 instances,
+    and instance-pure superpoints of ~50-60 points (the reference's
+    Felzenszwalb segments average ~50 points; measured proxy-vs-reference
+    statistics table in NEXT.md).
     """
     rng = np.random.default_rng(seed)
     w = rng.uniform(*room_range)
@@ -101,7 +103,7 @@ def make_room_scene(
     # classes: 2=door-like (tall), 3=window-like (wide), 4=picture-like
     # (small).  Floor boxes: classes 5..classes-1 by (footprint, height,
     # aspect) buckets; each class also gets a characteristic base hue.
-    n_inst = max(6, int(rng.poisson(8 + 0.3 * w * l)))
+    n_inst = max(6, int(rng.poisson(8 + 0.5 * w * l)))
     for i in range(n_inst):
         if rng.random() < 0.2:  # wall-mounted
             wi = int(rng.integers(0, 4))

@@ -139,13 +139,22 @@ def build_spatial_batch(
         cuts.append(int(np.searchsorted(cum, target)) + 1)
     cuts.append(nblocks)
     cuts = np.maximum.accumulate(np.asarray(cuts))
-    bounds = cuts * align  # [D+1] x boundaries (level 0)
-    if not np.all(np.diff(bounds) > 0):
+    if nblocks < n_shards:
         raise ValueError(
             f"scene x-extent ({max_x} voxels, {nblocks} aligned blocks of "
-            f"{align}) is too small to shard {n_shards} ways; empty slabs "
-            "would break adjacent-neighbor halo exchange"
+            f"{align}) is too small to shard {n_shards} ways"
         )
+    # Enforce STRICTLY increasing cuts: a dense x-band narrower than `align`
+    # collapses count-balanced cuts into one block.  Distinct boundaries are
+    # all halo correctness needs (3³ convs read ±1 plane, so every crossing
+    # is between adjacent slabs; an occupancy-empty slab simply has empty
+    # halo lists) — accept count imbalance instead of refusing.
+    for i in range(1, n_shards):
+        cuts[i] = max(int(cuts[i]), int(cuts[i - 1]) + 1)
+    for i in range(n_shards - 1, 0, -1):
+        cuts[i] = min(int(cuts[i]), int(cuts[i + 1]) - 1)
+    bounds = cuts * align  # [D+1] x boundaries (level 0)
+    assert np.all(np.diff(bounds) > 0)
 
     D = n_shards
     levels = []
@@ -188,9 +197,13 @@ def build_spatial_batch(
             owned_a[d, :n] = own
             rows = np.arange(n, dtype=np.int32)
             x0, x1 = int(xb[d]), int(xb[d + 1])
-            # my boundary planes (owned) — send order: ascending local key
-            sl = rows[own & (cc[:, 1] == x0)]
-            sr = rows[own & (cc[:, 1] == x1 - 1)]
+            # my boundary planes (owned) — send order: ascending local key.
+            # Edge shards have no neighbor on that side: their boundary plane
+            # is never delivered (non-cyclic ppermute pairs) and can exceed
+            # the halo capacity (which is sized from RECEIVE planes — equal
+            # to the interior senders' planes by alignment), so skip it.
+            sl = rows[own & (cc[:, 1] == x0)] if d > 0 else rows[:0]
+            sr = rows[own & (cc[:, 1] == x1 - 1)] if d + 1 < D else rows[:0]
             sl_a[d, : len(sl)] = sl
             sr_a[d, : len(sr)] = sr
             rl = rows[hl_m]

@@ -125,11 +125,19 @@ def _fwd_kernel(c, lo_ref, pos_ref, ok_ref, xp_hbm, w_ref, out_ref, acc_ref, win
 
 
 def _pack(feats: jax.Array, p: int):
-    """[M, C] -> [ceil(M/p) (+1 slack tile), p*C] row-packed for 128-lane DMAs."""
+    """[M, C] -> [ceil(M/p), lanes] row-packed for windowed DMAs; ``lanes``
+    is ``p*C`` padded up to a multiple of 128 (Mosaic requires HBM slices
+    lane-aligned to the 128 tiling — hit by the unpacked p=1 widths 96/160)."""
     m, c = feats.shape
     mp = -(-m // p) * p
+    cp = -(-(p * c) // 128) * 128
     xp = jnp.zeros((mp, c), feats.dtype).at[:m].set(feats)
-    return xp.reshape(mp // p, p * c), mp
+    xp = xp.reshape(mp // p, p * c)
+    if cp != p * c:
+        xp = jnp.concatenate(
+            [xp, jnp.zeros((mp // p, cp - p * c), feats.dtype)], axis=1
+        )
+    return xp, mp
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "window", "interpret"))
@@ -152,7 +160,7 @@ def _fwd_call(feats, pos, ok, weights, lo, tile, window, interpret):
         out_specs=pl.BlockSpec((tile, d), lambda t, lo_ref: (t, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((tile, d), jnp.float32),
-            pltpu.VMEM((2, window // p, p * c), feats.dtype),
+            pltpu.VMEM((2, window // p, -(-(p * c) // 128) * 128), feats.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -337,7 +345,7 @@ def _bwd_call(x, g, pos, ok, w_flipT, lo, tile, window, interpret):
         ],
         scratch_shapes=[
             pltpu.VMEM((tile, c), jnp.float32),
-            pltpu.VMEM((2, window // p, p * d), g.dtype),
+            pltpu.VMEM((2, window // p, -(-(p * d) // 128) * 128), g.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -429,7 +437,7 @@ def _dw_call(src, x, pos, ok, lo, tile, window, interpret):
             (k, ct, cs), lambda t, lo_ref: (0, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, window // p, p * cs), src.dtype),
+            pltpu.VMEM((2, window // p, -(-(p * cs) // 128) * 128), src.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
