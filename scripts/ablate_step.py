@@ -136,12 +136,18 @@ def main():
             lambda x: jax.lax.dynamic_index_in_dim(x, i % 2, keepdims=False), stacked_tree
         )
 
-    # ---- shared state: init exactly like bench.py (compile-cache shared) ----
-    pre0 = preprocess(batch0, statics)
-    variables = model.init(jax.random.PRNGKey(0), batch0, pre0, train=False)
-    print("# init done", file=sys.stderr, flush=True)
-    tx = make_optimizer(variables["params"], max_epochs=120, steps_per_epoch=30)
-    state = init_train_state(variables["params"], variables["batch_stats"], tx)
+    # ---- shared state: init exactly like bench.py (compile-cache shared).
+    # Skipped when no requested component needs model params (e.g. a
+    # convs-only run) — the init forward is a 10-20 min remote compile. ----
+    needs_model = {"fwd_eval", "fwd_net", "fwd_train", "grad", "opt", "train",
+                   "losses"} & set(WHAT)
+    state = None
+    if needs_model:
+        pre0 = preprocess(batch0, statics)
+        variables = model.init(jax.random.PRNGKey(0), batch0, pre0, train=False)
+        print("# init done", file=sys.stderr, flush=True)
+        tx = make_optimizer(variables["params"], max_epochs=120, steps_per_epoch=30)
+        state = init_train_state(variables["params"], variables["batch_stats"], tx)
     loss_cfg = LossConfig(classes=20, max_instances=64, num_scenes=BATCH)
     flags = LossFlags(True, True, True)
 
@@ -230,6 +236,23 @@ def main():
         report("train", (time.perf_counter() - t0) / reps * 1000, compile_t)
 
     # =================== SMALL components (scan) ===================
+    if "fwd_net" in WHAT:
+        # apply-only with a precomputed plan: fwd_eval - fwd_net = the true
+        # in-context preprocess cost (the standalone preprocess micro DCEs
+        # the down links / pooling / sp_center it never reads)
+        pre_fn0 = jax.jit(lambda b: preprocess(b, statics, use_coords=model.cfg.use_coords))
+        pres0 = [jax.tree_util.tree_map(lambda x: x.block_until_ready(), pre_fn0(b))
+                 for b in batches]
+
+        @jax.jit
+        def run_net(params, bstats, batch, pre):
+            outs = model.apply({"params": params, "batch_stats": bstats}, batch, pre,
+                               train=False)
+            return outs["semantic_scores"][0, 0]
+        timed_seq("fwd_net", run_net,
+                  (state.params, state.batch_stats, batch0, pres0[0]),
+                  (state.params, state.batch_stats, batch1, pres0[1]))
+
     if "preprocess" in WHAT:
         @jax.jit
         def run_pre(stacked):

@@ -192,7 +192,7 @@ def test_fwd_bf16_small_window_forces_far_path():
 def test_far_correction_overflow_runs_extra_rounds():
     """More far rows than one correction batch (n_far > cap): _far_rounds
     must keep iterating instead of silently dropping contributions."""
-    from tpu3dwsis.ops.pallas_spconv2 import _plan_windows, derive_pos
+    from tpu3dwsis.ops.pallas_spconv2 import _group_offsets, _plan_windows, derive_pos
 
     rng = np.random.default_rng(7)
     m, k, c = 2048, 27, 32
@@ -210,7 +210,7 @@ def test_far_correction_overflow_runs_extra_rounds():
     p = 128 // c
     pos, ok = derive_pos(nbr, m)
     mp = -(-m // p) * p
-    _, far = _plan_windows(pos, ok, tile, window, p, mp)
+    _, far = _plan_windows(pos, ok, tile, window, p, mp, group_size=_group_offsets(k))
     n_far = int(np.asarray(far).sum())
     assert n_far > 4096, f"construction failed to overflow: n_far={n_far}"
 

@@ -12,17 +12,21 @@ v2 over the round-1 kernel (``pallas_spconv.py``):
 
 * **all 27 offsets inside one kernel** with the fp32 accumulator resident in
   VMEM (one output write per tile, not per offset);
-* **double-buffered windows**: the offset-(k+1) window DMA is issued before
-  computing offset k, so DMA latency (which serialized v1 at ~1 µs per
-  (tile, offset)) overlaps the one-hot gather matmul;
+* **dx-grouped shared windows, all issued up front**: sorted keys are
+  x-major, so one dx plane's 9 y/z offsets read windows within a few rows
+  of each other (measured far fraction 0 at a shared 512-row window).  One
+  DMA per dx group — 3 per tile instead of 27 — and every group's DMA is
+  started before any compute, so the ~1 µs per-DMA latency (the measured
+  bottleneck: per-tile time was invariant to a 4× window change) overlaps
+  across groups and with the one-hot matmuls;
 * **exact everywhere**: rows whose neighbor falls outside the window (rare:
   plane-size discontinuities, scene boundaries) are fixed up by a compacted
   XLA gather epilogue — no silent drops, no host-side fallback decision;
-* **pos tables derived from the existing plan** (cummax-repaired
-  ``subm_nbr``) — no extra lookups.
+* **pos tables derived from the existing plan** — no extra lookups.
 
 The local gather is a one-hot matmul on the MXU over the packed window
-(``p = 128/C`` rows per 128-lane group), as in v1 — Mosaic's
+(``p = max(1, 128//C)`` rows per lane group; widths not dividing 128 run
+unpacked with lanes padded to 128 multiples) — Mosaic's
 ``tpu.dynamic_gather`` still cannot index beyond the first tile here.
 """
 from __future__ import annotations
@@ -50,53 +54,73 @@ def derive_pos(nbr: jax.Array, num_src_rows: int):
     return nbr.astype(jnp.int32), ok
 
 
-def _plan_windows(pos, ok, tile: int, window: int, p: int, mp: int):
-    """Window starts ``lo [K, nt]`` (aligned so ``lo/p`` is a multiple of the
-    16-sublane tile) and the ``far`` mask of rows the windows miss.
+def _group_offsets(k: int) -> int:
+    """Offsets per shared window.  Sorted keys are x-major, so the 9 y/z
+    offsets of one dx plane land within a few rows of each other — measured
+    far fraction at a shared 512-row window is ZERO on real rulebooks
+    (scripts/far_fraction.py).  Row-major offset enumeration makes each dx
+    plane a contiguous K-range: 27→3 groups of 9, 8→2 groups of 4 (k2s2
+    down tables), 9 (factorized asym kernels)→3 of 3 (dx-contiguous for the
+    dy==0 slice, merely finer for the dx==0 slice)."""
+    return {27: 9, 9: 3, 8: 4}.get(k, 1)
 
-    ``lo`` = each tile's minimum hit position (one [K, M] → [K, nt]
-    min-reduce; hits are non-decreasing per offset so the min covers the
-    whole tile from below); rows beyond ``lo + window`` land in ``far``.
+
+def _plan_windows(pos, ok, tile: int, window: int, p: int, mp: int, group_size: int = 1):
+    """Window starts ``lo [K/group_size, nt]`` (aligned so ``lo/p`` is a
+    multiple of the 16-sublane tile) and the ``far`` mask of rows the
+    windows miss.
+
+    ``lo`` = each (offset-group, tile)'s minimum hit position (hits are
+    non-decreasing per offset so the min covers the whole tile from below);
+    rows beyond ``lo + window`` land in ``far``.
     """
     k, m = pos.shape
+    gs = max(int(group_size), 1)
+    assert k % gs == 0, (k, gs)
+    ng = k // gs
     nt = m // tile
     q = 16 * p
     hits = jnp.where(ok, pos, mp)
-    lo = jnp.min(hits.reshape(k, nt, tile), axis=2)
+    lo = jnp.min(hits.reshape(ng, gs, nt, tile), axis=(1, 3))  # [G, nt]
     lo = (lo // q) * q
     hi = ((mp - window) // q) * q
     lo = jnp.clip(lo, 0, max(hi, 0)).astype(jnp.int32)
-    local = pos - jnp.repeat(lo, tile, axis=1)
-    far = ok & (local >= window)
-    return lo, far
+    local = pos.reshape(ng, gs, nt, tile) - lo[:, None, :, None]
+    far = ok.reshape(ng, gs, nt, tile) & (local >= window)
+    return lo, far.reshape(k, m)
 
 
-def _fwd_kernel(c, lo_ref, pos_ref, ok_ref, xp_hbm, w_ref, out_ref, acc_ref, win_ref, sem):
+def _fwd_kernel(c, gs, lo_ref, pos_ref, ok_ref, xp_hbm, w_ref, out_ref, acc_ref, win_ref, sem):
     t = pl.program_id(0)
     k_total = w_ref.shape[0]
     tile = pos_ref.shape[1]
     wp = win_ref.shape[1]  # packed window rows
     p = max(1, 128 // c)
+    n_groups = k_total // gs
 
-    def dma(k, buf):
-        lo = lo_ref[k, t]
+    def dma(g):
+        lo = lo_ref[g, t]
         lo_p = pl.multiple_of(lo // p, 16)
         return pltpu.make_async_copy(
-            xp_hbm.at[pl.ds(lo_p, wp), :], win_ref.at[buf], sem.at[buf]
+            xp_hbm.at[pl.ds(lo_p, wp), :], win_ref.at[g], sem.at[g]
         )
 
-    dma(0, 0).start()
+    # the kernel is DMA-LATENCY bound (measured ~1 µs per wait): issue every
+    # group window up front so the latencies overlap each other and the
+    # one-hot matmuls, instead of serializing 27 round-trips per tile
+    copies = [dma(g) for g in range(n_groups)]
+    for cp in copies:
+        cp.start()
     acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # static unroll over offsets: all ref indices (window parity, weight row,
+    # static unroll over offsets: all ref indices (window group, weight row,
     # table row) stay compile-time constants, which Mosaic lowers reliably
     for k in range(k_total):
-        buf = k % 2
-        dma(k, buf).wait()
-        if k + 1 < k_total:
-            dma(k + 1, 1 - buf).start()
+        g = k // gs
+        if k % gs == 0:
+            copies[g].wait()
 
-        local = pos_ref[k, :] - lo_ref[k, t]  # [T]
+        local = pos_ref[k, :] - lo_ref[g, t]  # [T]
         ok = (ok_ref[k, :] > 0) & (local >= 0) & (local < wp * p)
         sel_packed = jnp.where(ok, local // p, -1)  # -1 never matches
         onehot = (
@@ -105,17 +129,17 @@ def _fwd_kernel(c, lo_ref, pos_ref, ok_ref, xp_hbm, w_ref, out_ref, acc_ref, win
         )
         g128 = jax.lax.dot_general(
             onehot.astype(win_ref.dtype),
-            win_ref[buf],
+            win_ref[g],
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [T, 128]
+        )  # [T, lanes]
         sub = jnp.where(ok, local % p, -1)
-        g = jnp.zeros((tile, c), jnp.float32)
+        gath = jnp.zeros((tile, c), jnp.float32)
         for j in range(p):
             pick = (sub == j).astype(jnp.float32)
-            g = g + jnp.broadcast_to(pick.reshape(tile, 1), (tile, c)) * g128[:, j * c : (j + 1) * c]
+            gath = gath + jnp.broadcast_to(pick.reshape(tile, 1), (tile, c)) * g128[:, j * c : (j + 1) * c]
         acc_ref[:] += jax.lax.dot_general(
-            g.astype(w_ref.dtype),
+            gath.astype(w_ref.dtype),
             w_ref[k],
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -140,12 +164,13 @@ def _pack(feats: jax.Array, p: int):
     return xp, mp
 
 
-@functools.partial(jax.jit, static_argnames=("tile", "window", "interpret"))
-def _fwd_call(feats, pos, ok, weights, lo, tile, window, interpret):
+@functools.partial(jax.jit, static_argnames=("tile", "window", "gs", "interpret"))
+def _fwd_call(feats, pos, ok, weights, lo, tile, window, gs, interpret):
     k, m = pos.shape
     c, d = weights.shape[1], weights.shape[2]
     p = max(1, 128 // c)
     nt = m // tile
+    ng = k // gs
     xp, mp = _pack(feats, p)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -160,11 +185,11 @@ def _fwd_call(feats, pos, ok, weights, lo, tile, window, interpret):
         out_specs=pl.BlockSpec((tile, d), lambda t, lo_ref: (t, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((tile, d), jnp.float32),
-            pltpu.VMEM((2, window // p, -(-(p * c) // 128) * 128), feats.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((ng, window // p, -(-(p * c) // 128) * 128), feats.dtype),
+            pltpu.SemaphoreType.DMA((ng,)),
         ],
     )
-    kernel = functools.partial(_fwd_kernel, c)
+    kernel = functools.partial(_fwd_kernel, c, gs)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -245,15 +270,17 @@ def subm_conv_fwd(
     k, m = nbr.shape
     c = feats.shape[1]
     p = max(1, 128 // c)
+    gs = _group_offsets(k)
     pos, ok = derive_pos(nbr, feats.shape[0])
     mp = -(-feats.shape[0] // p) * p  # packing follows the gather SOURCE
-    lo, far = _plan_windows(pos, ok, tile, window, p, mp)
-    out = _fwd_call(feats, pos, ok & ~far, weights.astype(feats.dtype), lo, tile, window, interpret)
+    lo, far = _plan_windows(pos, ok, tile, window, p, mp, group_size=gs)
+    out = _fwd_call(feats, pos, ok & ~far, weights.astype(feats.dtype), lo,
+                    tile, window, gs, interpret)
     return _far_correction_fwd(out, feats, nbr, weights.astype(feats.dtype), far)
 
 
 # ---------------------------------------------------------------- backward
-def _bwd_kernel(c, lo_ref, pos_ref, ok_ref, gp_hbm, wt_ref, x_ref, dx_ref, dw_ref,
+def _bwd_kernel(c, gs, lo_ref, pos_ref, ok_ref, gp_hbm, wt_ref, x_ref, dx_ref, dw_ref,
                 acc_ref, win_ref, sem):
     """Shared-gather backward: one window gather of the upstream grad per
     offset serves BOTH dx (gk @ W^T[flip k]) and dW[flip k] (x_tile^T @ gk).
@@ -266,29 +293,31 @@ def _bwd_kernel(c, lo_ref, pos_ref, ok_ref, gp_hbm, wt_ref, x_ref, dx_ref, dw_re
     wp = win_ref.shape[1]
     d = wt_ref.shape[1]
     p = max(1, 128 // d)  # gp packing follows grad channels D
+    n_groups = k_total // gs
 
     @pl.when(t == 0)
     def _():
         dw_ref[:] = jnp.zeros_like(dw_ref)
 
-    def dma(k, buf):
-        lo = lo_ref[k, t]
+    def dma(g):
+        lo = lo_ref[g, t]
         lo_p = pl.multiple_of(lo // p, 16)
         return pltpu.make_async_copy(
-            gp_hbm.at[pl.ds(lo_p, wp), :], win_ref.at[buf], sem.at[buf]
+            gp_hbm.at[pl.ds(lo_p, wp), :], win_ref.at[g], sem.at[g]
         )
 
-    dma(0, 0).start()
+    copies = [dma(g) for g in range(n_groups)]
+    for cp in copies:
+        cp.start()
     acc_ref[:] = jnp.zeros_like(acc_ref)
     xf = x_ref[:].astype(jnp.float32)
 
     for k in range(k_total):  # static unroll (see _fwd_kernel)
-        buf = k % 2
-        dma(k, buf).wait()
-        if k + 1 < k_total:
-            dma(k + 1, 1 - buf).start()
+        g = k // gs
+        if k % gs == 0:
+            copies[g].wait()
 
-        local = pos_ref[k, :] - lo_ref[k, t]
+        local = pos_ref[k, :] - lo_ref[g, t]
         ok = (ok_ref[k, :] > 0) & (local >= 0) & (local < wp * p)
         sel_packed = jnp.where(ok, local // p, -1)
         onehot = (
@@ -297,7 +326,7 @@ def _bwd_kernel(c, lo_ref, pos_ref, ok_ref, gp_hbm, wt_ref, x_ref, dx_ref, dw_re
         )
         g128 = jax.lax.dot_general(
             onehot.astype(win_ref.dtype),
-            win_ref[buf],
+            win_ref[g],
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -320,13 +349,14 @@ def _bwd_kernel(c, lo_ref, pos_ref, ok_ref, gp_hbm, wt_ref, x_ref, dx_ref, dw_re
     dx_ref[:] = acc_ref[:].astype(dx_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("tile", "window", "interpret"))
-def _bwd_call(x, g, pos, ok, w_flipT, lo, tile, window, interpret):
+@functools.partial(jax.jit, static_argnames=("tile", "window", "gs", "interpret"))
+def _bwd_call(x, g, pos, ok, w_flipT, lo, tile, window, gs, interpret):
     k, m = pos.shape
     c = x.shape[1]
     d = g.shape[1]
     p = max(1, 128 // d)
     nt = m // tile
+    ng = k // gs
     gp, mp = _pack(g, p)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -345,11 +375,11 @@ def _bwd_call(x, g, pos, ok, w_flipT, lo, tile, window, interpret):
         ],
         scratch_shapes=[
             pltpu.VMEM((tile, c), jnp.float32),
-            pltpu.VMEM((2, window // p, -(-(p * d) // 128) * 128), g.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((ng, window // p, -(-(p * d) // 128) * 128), g.dtype),
+            pltpu.SemaphoreType.DMA((ng,)),
         ],
     )
-    kernel = functools.partial(_bwd_kernel, c)  # noqa: c unused in kernel body
+    kernel = functools.partial(_bwd_kernel, c, gs)  # noqa: c unused in kernel body
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -361,7 +391,7 @@ def _bwd_call(x, g, pos, ok, w_flipT, lo, tile, window, interpret):
     )(lo, pos, ok.astype(jnp.int32), gp, w_flipT, x)
 
 
-def _dw_kernel(lo_ref, pos_ref, ok_ref, src_hbm, x_ref, dw_ref, win_ref, sem):
+def _dw_kernel(gs, lo_ref, pos_ref, ok_ref, src_hbm, x_ref, dw_ref, win_ref, sem):
     """dW[k] = Σ_tiles x_tile^T @ gather(src, nbr[k])_tile — the weight-grad
     half of the fused backward, standalone for the k2s2 down-table convs
     (their dx comes from a cheaper gather formulation)."""
@@ -371,28 +401,30 @@ def _dw_kernel(lo_ref, pos_ref, ok_ref, src_hbm, x_ref, dw_ref, win_ref, sem):
     wp = win_ref.shape[1]
     cs = dw_ref.shape[2]  # gather-source channels
     p = max(1, 128 // cs)
+    n_groups = k_total // gs
 
     @pl.when(t == 0)
     def _():
         dw_ref[:] = jnp.zeros_like(dw_ref)
 
-    def dma(k, buf):
-        lo = lo_ref[k, t]
+    def dma(g):
+        lo = lo_ref[g, t]
         lo_p = pl.multiple_of(lo // p, 16)
         return pltpu.make_async_copy(
-            src_hbm.at[pl.ds(lo_p, wp), :], win_ref.at[buf], sem.at[buf]
+            src_hbm.at[pl.ds(lo_p, wp), :], win_ref.at[g], sem.at[g]
         )
 
-    dma(0, 0).start()
+    copies = [dma(g) for g in range(n_groups)]
+    for cp in copies:
+        cp.start()
     xf = x_ref[:].astype(jnp.float32)
 
     for k in range(k_total):  # static unroll (see _fwd_kernel)
-        buf = k % 2
-        dma(k, buf).wait()
-        if k + 1 < k_total:
-            dma(k + 1, 1 - buf).start()
+        g = k // gs
+        if k % gs == 0:
+            copies[g].wait()
 
-        local = pos_ref[k, :] - lo_ref[k, t]
+        local = pos_ref[k, :] - lo_ref[g, t]
         ok = (ok_ref[k, :] > 0) & (local >= 0) & (local < wp * p)
         sel_packed = jnp.where(ok, local // p, -1)
         onehot = (
@@ -401,7 +433,7 @@ def _dw_kernel(lo_ref, pos_ref, ok_ref, src_hbm, x_ref, dw_ref, win_ref, sem):
         )
         g128 = jax.lax.dot_general(
             onehot.astype(win_ref.dtype),
-            win_ref[buf],
+            win_ref[g],
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -415,13 +447,14 @@ def _dw_kernel(lo_ref, pos_ref, ok_ref, src_hbm, x_ref, dw_ref, win_ref, sem):
         )
 
 
-@functools.partial(jax.jit, static_argnames=("tile", "window", "interpret"))
-def _dw_call(src, x, pos, ok, lo, tile, window, interpret):
+@functools.partial(jax.jit, static_argnames=("tile", "window", "gs", "interpret"))
+def _dw_call(src, x, pos, ok, lo, tile, window, gs, interpret):
     k, m = pos.shape
     ct = x.shape[1]  # tile-side channels
     cs = src.shape[1]  # gather-source channels
     p = max(1, 128 // cs)
     nt = m // tile
+    ng = k // gs
     sp, _ = _pack(src, p)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -437,12 +470,12 @@ def _dw_call(src, x, pos, ok, lo, tile, window, interpret):
             (k, ct, cs), lambda t, lo_ref: (0, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, window // p, -(-(p * cs) // 128) * 128), src.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((ng, window // p, -(-(p * cs) // 128) * 128), src.dtype),
+            pltpu.SemaphoreType.DMA((ng,)),
         ],
     )
     return pl.pallas_call(
-        _dw_kernel,
+        functools.partial(_dw_kernel, gs),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((k, ct, cs), jnp.float32),
         interpret=interpret,
@@ -462,10 +495,11 @@ def table_weight_grad(
     k, m = nbr.shape
     cs = gather_src.shape[1]
     p = max(1, 128 // cs)
+    gs = _group_offsets(k)
     pos, ok = derive_pos(nbr, gather_src.shape[0])
     mp = -(-gather_src.shape[0] // p) * p
-    lo, far = _plan_windows(pos, ok, tile, window, p, mp)
-    dw = _dw_call(gather_src, tile_side, pos, ok & ~far, lo, tile, window, interpret)
+    lo, far = _plan_windows(pos, ok, tile, window, p, mp, group_size=gs)
+    dw = _dw_call(gather_src, tile_side, pos, ok & ~far, lo, tile, window, gs, interpret)
 
     cap = max(4096, m // 32)
     flat = far.reshape(-1)
@@ -502,11 +536,12 @@ def subm_conv_bwd(
     k, m = nbr.shape
     d = g.shape[1]
     p = max(1, 128 // d)
+    gs = _group_offsets(k)
     pos, ok = derive_pos(nbr, m)
     mp = -(-m // p) * p
-    lo, far = _plan_windows(pos, ok, tile, window, p, mp)
+    lo, far = _plan_windows(pos, ok, tile, window, p, mp, group_size=gs)
     w_flipT = jnp.flip(weights, axis=0).transpose(0, 2, 1).astype(g.dtype)  # [K, D, C]
-    dx, dw_flip = _bwd_call(feats, g, pos, ok & ~far, w_flipT, lo, tile, window, interpret)
+    dx, dw_flip = _bwd_call(feats, g, pos, ok & ~far, w_flipT, lo, tile, window, gs, interpret)
 
     # far corrections (rare rows): dx via gather+matmul, dW via outer products
     cap = max(4096, m // 32)

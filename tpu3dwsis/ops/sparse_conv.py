@@ -180,7 +180,8 @@ _PALLAS_WINDOW = int(_os.environ.get("TPU3DWSIS_CONV_WINDOW", "512"))
 _PALLAS_WINDOW_DOWN = int(_os.environ.get("TPU3DWSIS_CONV_WINDOW_DOWN", "2048"))
 
 
-def _pallas_ok(gather_channels, m_table: int, m_src: int) -> bool:
+def _pallas_ok(gather_channels, m_table: int, m_src: int,
+               window: int = _PALLAS_WINDOW) -> bool:
     """Kernel eligibility: every listed gather-source channel count must be
     lane-aligned (widths dividing 128 pack ``p = 128/C`` rows per window row;
     wider ones run unpacked at ``p = 1``), the output-table rows must tile
@@ -189,7 +190,7 @@ def _pallas_ok(gather_channels, m_table: int, m_src: int) -> bool:
         return False
     if any(c % 32 or c > 512 for c in gather_channels):
         return False
-    if m_table % _PALLAS_TILE or m_src < _PALLAS_WINDOW:
+    if m_table % _PALLAS_TILE or m_src < window:
         return False
     if _CONV_IMPL == "pallas":
         return True
@@ -291,7 +292,7 @@ def _down_conv_pallas(feats, down_nbr, parent, child_offset, weights):
     from .pallas_spconv2 import subm_conv_fwd
 
     return subm_conv_fwd(
-        feats, down_nbr, weights, tile=_PALLAS_TILE, window=_PALLAS_WINDOW
+        feats, down_nbr, weights, tile=_PALLAS_TILE, window=_PALLAS_WINDOW_DOWN
     )
 
 
@@ -308,7 +309,7 @@ def _down_pallas_bwd(res, g):
     dx = inverse_conv_raw(g, parent, child_offset, w.transpose(0, 2, 1))
     # dW[k] = gather(x, down_nbr[k])^T @ g  — windowed over the fine source
     dw = table_weight_grad(
-        feats, g, down_nbr, tile=_PALLAS_TILE, window=_PALLAS_WINDOW
+        feats, g, down_nbr, tile=_PALLAS_TILE, window=_PALLAS_WINDOW_DOWN
     ).transpose(0, 2, 1)
     return dx, None, None, None, dw.astype(w.dtype)
 
@@ -320,7 +321,8 @@ def down_conv(feats, down_nbr, parent, child_offset, weights):
     """k=2 s=2 strided conv fine→coarse (spconv ``SparseConv3d`` semantics);
     Pallas windowed path on TPU (both its gathers read ``feats``, so only
     Cin must pack into 128 lanes)."""
-    if _pallas_ok((feats.shape[1],), down_nbr.shape[1], feats.shape[0]):
+    if _pallas_ok((feats.shape[1],), down_nbr.shape[1], feats.shape[0],
+                  window=_PALLAS_WINDOW_DOWN):
         return _down_conv_pallas(feats, down_nbr, parent, child_offset, weights)
     return down_conv_xla(feats, down_nbr, parent, child_offset, weights)
 
@@ -391,10 +393,11 @@ def _inv_pallas_bwd(res, g):
     feats, parent, child_offset, down_nbr, w = res
     g = g.astype(feats.dtype)
     dx = subm_conv_fwd(
-        g, down_nbr, w.transpose(0, 2, 1), tile=_PALLAS_TILE, window=_PALLAS_WINDOW
+        g, down_nbr, w.transpose(0, 2, 1), tile=_PALLAS_TILE,
+        window=_PALLAS_WINDOW_DOWN
     )
     dw = table_weight_grad(
-        g, feats, down_nbr, tile=_PALLAS_TILE, window=_PALLAS_WINDOW
+        g, feats, down_nbr, tile=_PALLAS_TILE, window=_PALLAS_WINDOW_DOWN
     )
     return dx, None, None, None, dw.astype(w.dtype)
 
@@ -405,7 +408,8 @@ _inverse_conv_pallas.defvjp(_inv_pallas_fwd, _inv_pallas_bwd)
 def inverse_conv(feats, parent, child_offset, down_nbr, weights):
     """k=2 inverse conv coarse→fine; Pallas-backward path on TPU (its
     gathers read the fine grad with Cout channels)."""
-    if _pallas_ok((weights.shape[2],), down_nbr.shape[1], parent.shape[0]):
+    if _pallas_ok((weights.shape[2],), down_nbr.shape[1], parent.shape[0],
+                  window=_PALLAS_WINDOW_DOWN):
         return _inverse_conv_pallas(feats, parent, child_offset, down_nbr, weights)
     return inverse_conv_xla(feats, parent, child_offset, down_nbr, weights)
 
