@@ -410,6 +410,54 @@ def main():
             return acc
         timed_scan("losses", run_losses, outs_stacked, batch0)
 
+    if "bn" in WHAT:
+        # masked-BN train chain at L0 scale: the pre-activation epilogues
+        from tpu3dwsis.nn.norm import MaskedBatchNorm
+
+        m0 = statics.max_voxels
+        xb = jax.random.normal(jax.random.PRNGKey(0), (2, m0, 32), jnp.bfloat16)
+        maskb = jnp.ones((m0,), bool)
+        bn = MaskedBatchNorm(32)
+        bvars = bn.init(jax.random.PRNGKey(0), xb[0], maskb, True)
+
+        @jax.jit
+        def run_bn(params, bstats, xb, maskb):
+            def body(acc, i):
+                x = jax.lax.dynamic_index_in_dim(xb, i % 2, keepdims=False)
+                y, _ = bn.apply({"params": params, "batch_stats": bstats},
+                                x, maskb, True, mutable=["batch_stats"])
+                y = jax.nn.relu(y)
+                return acc + y[0, 0].astype(jnp.float32), None
+            acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(STEPS))
+            return acc
+        timed_scan("bn_relu_L0", run_bn, bvars["params"], bvars["batch_stats"],
+                   xb, maskb)
+
+    if "planhoist" in WHAT:
+        # does XLA CSE the per-conv _plan_windows recomputation?  time 1 vs 2
+        # convs on the SAME table in one jit: CSE ⇒ delta == kernel-only cost
+        from tpu3dwsis.ops import sparse_conv
+
+        lp0 = None
+        pre_probe = jax.jit(lambda b: preprocess(b, statics, use_coords=model.cfg.use_coords))
+        pr = pre_probe(batch0)
+        lp0 = pr.plan.levels[0]
+        m = lp0.subm_nbr.shape[1]
+        x2 = jax.random.normal(jax.random.PRNGKey(1), (2, m, 32), jnp.bfloat16)
+        w1 = jax.random.normal(jax.random.PRNGKey(2), (27, 32, 32), jnp.bfloat16) * 0.05
+        w2 = jax.random.normal(jax.random.PRNGKey(3), (27, 32, 32), jnp.bfloat16) * 0.05
+
+        @jax.jit
+        def run_two(x2, nbr, w1, w2):
+            def body(acc, i):
+                x = jax.lax.dynamic_index_in_dim(x2, i % 2, keepdims=False)
+                y = sparse_conv.subm_conv(x, nbr, w1)
+                z = sparse_conv.subm_conv(y, nbr, w2)
+                return acc + z[0, 0].astype(jnp.float32), None
+            acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(STEPS))
+            return acc
+        timed_scan(f"subm_two_chained_L0_m{m}", run_two, x2, lp0.subm_nbr, w1, w2)
+
     if "convs" in WHAT:
         # per-level subm conv fwd / fwd+bwd micro-benches on real tables
         from tpu3dwsis.ops import sparse_conv

@@ -25,6 +25,15 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+# JAX_PLATFORMS env is pinned to axon by a sitecustomize before any code
+# runs; a platform override must happen in Python before first backend use
+# (SPATIAL_PLATFORM=cpu for the virtual-device run — also guards against
+# accidentally attaching a second job to the TPU).
+if os.environ.get("SPATIAL_PLATFORM"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", os.environ["SPATIAL_PLATFORM"])
+
 TARGET_POINTS = float(os.environ.get("SPATIAL_POINTS", "1e7"))
 REPS = int(os.environ.get("SPATIAL_REPS", "4"))
 CACHE = os.path.join(REPO, ".bench_cache")
