@@ -51,7 +51,10 @@ def main():
     from tpu3dwsis.nn.network import NetConfig, WSISNet, preprocess
     from tpu3dwsis.utils.profiling import enable_compilation_cache
 
-    enable_compilation_cache(os.path.join(CACHE, "jax"))
+    # persistent cache only for the TPU path: CPU AOT entries are machine-
+    # feature-specific and SIGILL when the container moves hosts
+    if not os.environ.get("SPATIAL_PLATFORM"):
+        enable_compilation_cache(os.path.join(CACHE, "jax"))
     os.makedirs(CACHE, exist_ok=True)
 
     scenes, total = [], 0

@@ -114,13 +114,14 @@ def _fwd_kernel(c, gs, lo_ref, pos_ref, ok_ref, xp_hbm, w_ref, out_ref, acc_ref,
 
     # static unroll over offsets: all ref indices (window group, weight row,
     # table row) stay compile-time constants, which Mosaic lowers reliably.
-    # Per group the gs gathered tiles concatenate into ONE [T, gs*C] weight
-    # matmul — the kernel is matmul-ISSUE bound (each [T, *] dot costs ~T
-    # MXU cycles regardless of K/N), so 3 wide matmuls beat 27 narrow ones.
+    # NOTE: both matmuls here are M-bound (~T MXU cycles regardless of K/N),
+    # so merging them across offsets cannot save cycles — and concatenating
+    # narrow gathered tiles into wide operands costs lane relayouts that
+    # measured ~25% SLOWER at train-step scale.  Keep one gather + one
+    # weight matmul per offset.
     iota = jax.lax.broadcasted_iota(jnp.int32, (tile, wp), 1)
     for g in range(n_groups):
         copies[g].wait()
-        gaths = []
         for k in range(g * gs, (g + 1) * gs):
             local = pos_ref[k, :] - lo_ref[g, t]  # [T]
             ok = (ok_ref[k, :] > 0) & (local >= 0) & (local < wp * p)
@@ -137,14 +138,12 @@ def _fwd_kernel(c, gs, lo_ref, pos_ref, ok_ref, xp_hbm, w_ref, out_ref, acc_ref,
             for j in range(p):
                 pick = (sub == j).astype(jnp.float32)
                 gath = gath + jnp.broadcast_to(pick.reshape(tile, 1), (tile, c)) * g128[:, j * c : (j + 1) * c]
-            gaths.append(gath.astype(w_ref.dtype))
-        gcat = jnp.concatenate(gaths, axis=1) if gs > 1 else gaths[0]  # [T, gs*C]
-        acc_ref[:] += jax.lax.dot_general(
-            gcat,
-            w_ref[g],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+            acc_ref[:] += jax.lax.dot_general(
+                gath.astype(w_ref.dtype),
+                w_ref[k],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
 
     out_ref[:] = acc_ref[:].astype(out_ref.dtype)
 
@@ -196,7 +195,7 @@ def _fwd_call(feats, pos, ok, weights, lo, tile, window, gs, interpret):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((m, d), feats.dtype),
         interpret=interpret,
-    )(lo, pos, ok.astype(jnp.int32), xp, weights.reshape(k // gs, gs * c, d))
+    )(lo, pos, ok.astype(jnp.int32), xp, weights)
 
 
 def _compact_indices(flat: jax.Array, cap: int, fill: int, base=0) -> jax.Array:
@@ -285,16 +284,15 @@ def _bwd_kernel(c, gs, lo_ref, pos_ref, ok_ref, gp_hbm, wt_ref, x_ref, dx_ref, d
                 acc_ref, win_ref, sem):
     """Shared-gather backward: one window gather of the upstream grad per
     offset serves BOTH dx (gk @ W^T[flip k]) and dW[flip k] (x_tile^T @ gk).
-    ``wt_ref`` is the pre-flipped, pre-transposed weight stack reshaped
-    [G, gs*D, C] (flipped row k = W[K-1-k]^T) and ``dw_ref`` accumulates
-    [G, C, gs*D] in the same flipped order; the XLA wrapper reshapes and
-    un-flips.  Both per-group matmuls consume the gs gathered tiles as ONE
-    [T, gs*D] concat (matmul-issue bound, see _fwd_kernel)."""
+    ``wt_ref`` is the pre-flipped, pre-transposed weight stack [K, D, C]
+    (row k = W[K-1-k]^T) and ``dw_ref`` accumulates in the same flipped
+    order; the XLA wrapper un-flips.  Per-offset matmuls (see _fwd_kernel:
+    merging across offsets measured slower)."""
     t = pl.program_id(0)
     k_total = pos_ref.shape[0]
     tile = pos_ref.shape[1]
     wp = win_ref.shape[1]
-    d = wt_ref.shape[1] // gs
+    d = wt_ref.shape[1]
     p = max(1, 128 // d)  # gp packing follows grad channels D
     n_groups = k_total // gs
 
@@ -318,7 +316,6 @@ def _bwd_kernel(c, gs, lo_ref, pos_ref, ok_ref, gp_hbm, wt_ref, x_ref, dx_ref, d
 
     for g in range(n_groups):  # static unroll (see _fwd_kernel)
         copies[g].wait()
-        gks = []
         for k in range(g * gs, (g + 1) * gs):
             local = pos_ref[k, :] - lo_ref[g, t]
             ok = (ok_ref[k, :] > 0) & (local >= 0) & (local < wp * p)
@@ -335,18 +332,16 @@ def _bwd_kernel(c, gs, lo_ref, pos_ref, ok_ref, gp_hbm, wt_ref, x_ref, dx_ref, d
             for j in range(p):
                 pick = (sub == j).astype(jnp.float32)
                 gk = gk + jnp.broadcast_to(pick.reshape(tile, 1), (tile, d)) * g128[:, j * d : (j + 1) * d]
-            gks.append(gk)
-        gkcat = jnp.concatenate(gks, axis=1) if gs > 1 else gks[0]  # [T, gs*D]
-        acc_ref[:] += jax.lax.dot_general(
-            gkcat.astype(wt_ref.dtype),
-            wt_ref[g],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [T, C]
-        # dW[group] += x_tile^T @ gkcat : [C, gs*D]
-        dw_ref[g] += jax.lax.dot_general(
-            xf, gkcat, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
+            acc_ref[:] += jax.lax.dot_general(
+                gk.astype(wt_ref.dtype),
+                wt_ref[k],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [T, C]
+            # dW[k] += x_tile^T @ gk : [C, D]
+            dw_ref[k] += jax.lax.dot_general(
+                xf, gk, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
 
     dx_ref[:] = acc_ref[:].astype(dx_ref.dtype)
 
@@ -373,7 +368,7 @@ def _bwd_call(x, g, pos, ok, w_flipT, lo, tile, window, gs, interpret):
         ],
         out_specs=[
             pl.BlockSpec((tile, c), lambda t, lo_ref: (t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ng, c, gs * d), lambda t, lo_ref: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, c, d), lambda t, lo_ref: (0, 0, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((tile, c), jnp.float32),
@@ -382,18 +377,15 @@ def _bwd_call(x, g, pos, ok, w_flipT, lo, tile, window, gs, interpret):
         ],
     )
     kernel = functools.partial(_bwd_kernel, c, gs)  # noqa: c unused in kernel body
-    dx, dw_g = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((m, c), x.dtype),
-            jax.ShapeDtypeStruct((ng, c, gs * d), jnp.float32),
+            jax.ShapeDtypeStruct((k, c, d), jnp.float32),
         ],
         interpret=interpret,
-    )(lo, pos, ok.astype(jnp.int32), gp, w_flipT.reshape(ng, gs * d, c), x)
-    # [G, C, gs*D] -> [K, C, D] (group-major offset order restored)
-    dw = dw_g.reshape(ng, c, gs, d).transpose(0, 2, 1, 3).reshape(k, c, d)
-    return dx, dw
+    )(lo, pos, ok.astype(jnp.int32), gp, w_flipT, x)
 
 
 def _dw_kernel(gs, lo_ref, pos_ref, ok_ref, src_hbm, x_ref, dw_ref, win_ref, sem):
@@ -404,7 +396,7 @@ def _dw_kernel(gs, lo_ref, pos_ref, ok_ref, src_hbm, x_ref, dw_ref, win_ref, sem
     k_total = pos_ref.shape[0]
     tile = pos_ref.shape[1]
     wp = win_ref.shape[1]
-    cs = dw_ref.shape[2] // gs  # gather-source channels ([G, Ct, gs*Cs] out)
+    cs = dw_ref.shape[2]  # gather-source channels
     p = max(1, 128 // cs)
     n_groups = k_total // gs
 
@@ -427,7 +419,6 @@ def _dw_kernel(gs, lo_ref, pos_ref, ok_ref, src_hbm, x_ref, dw_ref, win_ref, sem
 
     for g in range(n_groups):  # static unroll (see _fwd_kernel)
         copies[g].wait()
-        gks = []
         for k in range(g * gs, (g + 1) * gs):
             local = pos_ref[k, :] - lo_ref[g, t]
             ok = (ok_ref[k, :] > 0) & (local >= 0) & (local < wp * p)
@@ -444,11 +435,9 @@ def _dw_kernel(gs, lo_ref, pos_ref, ok_ref, src_hbm, x_ref, dw_ref, win_ref, sem
             for j in range(p):
                 pick = (sub == j).astype(jnp.float32)
                 gk = gk + jnp.broadcast_to(pick.reshape(tile, 1), (tile, cs)) * g128[:, j * cs : (j + 1) * cs]
-            gks.append(gk)
-        gkcat = jnp.concatenate(gks, axis=1) if gs > 1 else gks[0]  # [T, gs*Cs]
-        dw_ref[g] += jax.lax.dot_general(
-            xf, gkcat, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
+            dw_ref[k] += jax.lax.dot_general(
+                xf, gk, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "window", "gs", "interpret"))
@@ -471,20 +460,19 @@ def _dw_call(src, x, pos, ok, lo, tile, window, gs, interpret):
             pl.BlockSpec((tile, ct), lambda t, lo_ref: (t, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (ng, ct, gs * cs), lambda t, lo_ref: (0, 0, 0), memory_space=pltpu.VMEM
+            (k, ct, cs), lambda t, lo_ref: (0, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
             pltpu.VMEM((ng, window // p, -(-(p * cs) // 128) * 128), src.dtype),
             pltpu.SemaphoreType.DMA((ng,)),
         ],
     )
-    dw_g = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_dw_kernel, gs),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((ng, ct, gs * cs), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((k, ct, cs), jnp.float32),
         interpret=interpret,
     )(lo, pos, ok.astype(jnp.int32), sp, x)
-    return dw_g.reshape(ng, ct, gs, cs).transpose(0, 2, 1, 3).reshape(k, ct, cs)
 
 
 def table_weight_grad(

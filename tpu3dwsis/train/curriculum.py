@@ -25,6 +25,7 @@ import time
 from typing import Dict, List, Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..core.containers import BatchStatics
@@ -196,19 +197,29 @@ class Trainer:
             losses = []
             data_t = step_t = 0.0
             t_last = time.time()
-            for arrays in batch_iterator(ds, self.local_batch, self.rng, training=True):
+            # Relay discipline: every host<->device touch is a ~90 ms round
+            # trip, so (a) the NEXT batch's device transfer is issued before
+            # blocking on this step's loss (transfers overlap the step), and
+            # (b) all loss scalars come back as ONE stacked device read
+            # instead of one float() per metric.
+            it = batch_iterator(ds, self.local_batch, self.rng, training=True)
+            arrays = next(it, None)
+            batch = self._put_batch(arrays) if arrays is not None else None
+            while batch is not None:
                 t_fetch = time.time()
                 data_t += t_fetch - t_last
-                batch = self._put_batch(arrays)
                 self.state, loss_out = step_fn(self.state, batch)
-                losses.append(float(loss_out["loss"]))
+                arrays = next(it, None)
+                batch = self._put_batch(arrays) if arrays is not None else None
+                keys = list(loss_out)
+                vals = np.asarray(jnp.stack([loss_out[k] for k in keys]))
+                scalars = {k: float(v) for k, v in zip(keys, vals)}
+                losses.append(scalars["loss"])
                 t_last = time.time()
                 step_t += t_last - t_fetch
                 self.global_step += 1
                 if self.writer is not None:
-                    self.writer.update(
-                        {k: v for k, v in loss_out.items()}, self.global_step
-                    )
+                    self.writer.update(scalars, self.global_step)
             mean_loss = float(np.mean(losses)) if losses else float("nan")
             self.history.append(
                 {"stage": stage.name, "epoch": epoch, "loss": mean_loss, "time": time.time() - t0}
