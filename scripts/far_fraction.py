@@ -23,10 +23,10 @@ import bench
 from tpu3dwsis.core.buckets import fit_statics
 from tpu3dwsis.data.collate import SceneLabels, collate, to_scene_batch
 from tpu3dwsis.nn.network import preprocess
-from tpu3dwsis.ops.pallas_spconv2 import _plan_windows, derive_pos
+from tpu3dwsis.ops.pallas_spconv2 import _group_offsets, _plan_windows, derive_pos
 
 BATCH = int(os.environ.get("FF_BATCH", "2"))
-TILE = 256
+TILE = int(os.environ.get("FF_TILE", "256"))
 CHANNELS = [32, 64, 96, 128, 160]
 
 
@@ -61,7 +61,8 @@ def main():
             mp = -(-m // p) * p
             if mp < window:
                 continue
-            _, far = _plan_windows(pos, ok, TILE, window, p, mp)
+            _, far = _plan_windows(pos, ok, TILE, window, p, mp,
+                                   group_size=_group_offsets(k))
             n_far = int(np.asarray(far).sum())
             rows.append({"level": lv, "c": c, "m": m, "window": window,
                          "hits": n_hit, "far": n_far,
@@ -79,7 +80,8 @@ def main():
                 mp = -(-m // p) * p
                 if mp < window or mc % TILE:
                     continue
-                _, far = _plan_windows(pos, ok, TILE, window, p, mp)
+                _, far = _plan_windows(pos, ok, TILE, window, p, mp,
+                                       group_size=_group_offsets(kd))
                 n_far = int(np.asarray(far).sum())
                 print(json.dumps({"level": f"{lv}down", "c": c, "m": mc,
                                   "window": window, "hits": n_hit, "far": n_far,

@@ -32,6 +32,7 @@ unpacked with lanes padded to 128 multiples) — Mosaic's
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -44,6 +45,10 @@ __all__ = [
     "subm_conv_bwd",
     "table_weight_grad",
 ]
+
+# v3 forward (folded per-group weight precompute, see _fwd_kernel_v3): A/B
+# gate until measured on hardware; applies only to packed widths (C<=64).
+_FWD_V3 = os.environ.get("TPU3DWSIS_CONV_V3", "1") != "0"
 
 
 def derive_pos(nbr: jax.Array, num_src_rows: int):
@@ -146,6 +151,126 @@ def _fwd_kernel(c, gs, lo_ref, pos_ref, ok_ref, xp_hbm, w_ref, out_ref, acc_ref,
             )
 
     out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+
+def _fold_weights(weights: jax.Array, p: int, gs: int, dtype) -> jax.Array:
+    """Per-group lane-concat of block-diagonal weights for the v3 forward.
+
+    ``weights [K, C, D]`` → ``[G, p*C, gs*seg]`` where each offset's
+    ``[p*C, p*D]`` block-diagonal expansion (p copies of W on the diagonal,
+    matching the window's p-row lane packing) occupies its own
+    ``seg = roundup(p*D, 128)``-lane segment.  One ``window @ fold`` matmul
+    then weights ALL of a group's packed candidate rows at once, replacing
+    the per-offset ``[T, C] @ [C, D]`` weight matmuls — the kernel is
+    matmul-issue bound, so fewer/earlier matmuls win even at equal FLOPs."""
+    k, c, d = weights.shape
+    ng = k // gs
+    eye = jnp.eye(p, dtype=weights.dtype)
+    wbd = jnp.einsum("ab,kcd->kacbd", eye, weights).reshape(k, p * c, p * d)
+    seg = -(-(p * d) // 128) * 128
+    if seg != p * d:
+        wbd = jnp.concatenate(
+            [wbd, jnp.zeros((k, p * c, seg - p * d), wbd.dtype)], axis=2
+        )
+    wcat = wbd.reshape(ng, gs, p * c, seg).transpose(0, 2, 1, 3).reshape(ng, p * c, gs * seg)
+    return wcat.astype(dtype)
+
+
+def _fwd_kernel_v3(c, d, gs, lo_ref, pos_ref, ok_ref, xp_hbm, wcat_ref, out_ref,
+                   acc_ref, win_ref, sem):
+    """v3 forward: the per-offset weight matmul is folded into ONE per-group
+    precompute ``WV = window @ wcat`` ([wp, 128] @ [128, gs*seg]), so each
+    offset costs a single one-hot gather matmul against its WV segment.
+    Requires p > 1 (p*C == 128, the packed lane width).  Per tile per group:
+    1 + gs matmuls instead of 2*gs, and the precompute's output height is
+    ``wp`` (window rows) < T, cutting MXU-issue cycles ~25% at L0/L1."""
+    t = pl.program_id(0)
+    k_total = pos_ref.shape[0]
+    tile = pos_ref.shape[1]
+    wp = win_ref.shape[1]
+    p = 128 // c
+    seg = wcat_ref.shape[2] // gs
+    n_groups = k_total // gs
+
+    def dma(g):
+        lo = lo_ref[g, t]
+        lo_p = pl.multiple_of(lo // p, 16)
+        return pltpu.make_async_copy(
+            xp_hbm.at[pl.ds(lo_p, wp), :], win_ref.at[g], sem.at[g]
+        )
+
+    copies = [dma(g) for g in range(n_groups)]
+    for cp in copies:
+        cp.start()
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    iota = jax.lax.broadcasted_iota(jnp.int32, (tile, wp), 1)
+    for g in range(n_groups):
+        copies[g].wait()
+        wv = jax.lax.dot_general(
+            win_ref[g],
+            wcat_ref[g],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(win_ref.dtype)  # [wp, gs*seg]
+        for k in range(g * gs, (g + 1) * gs):
+            local = pos_ref[k, :] - lo_ref[g, t]
+            ok = (ok_ref[k, :] > 0) & (local >= 0) & (local < wp * p)
+            sel_packed = jnp.where(ok, local // p, -1)
+            onehot = iota == jnp.broadcast_to(sel_packed.reshape(tile, 1), (tile, wp))
+            kl = k - g * gs
+            y = jax.lax.dot_general(
+                onehot.astype(win_ref.dtype),
+                wv[:, kl * seg : kl * seg + p * d],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [T, p*d]: candidate j's weighted contribution in block j
+            # select candidate sub-row j(t) per output row with ONE lane mask
+            # (lane // d == sub) instead of p pick-broadcast rounds
+            sub = jnp.where(ok, local % p, -1)
+            lane_j = jax.lax.broadcasted_iota(jnp.int32, (tile, p * d), 1) // d
+            mask = (lane_j == jnp.broadcast_to(sub.reshape(tile, 1), (tile, p * d))).astype(jnp.float32)
+            y4 = y * mask
+            contrib = y4[:, 0:d]
+            for j in range(1, p):
+                contrib = contrib + y4[:, j * d : (j + 1) * d]
+            acc_ref[:] += contrib
+
+    out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("d", "tile", "window", "gs", "interpret"))
+def _fwd_call_v3(feats, pos, ok, wcat, d, lo, tile, window, gs, interpret):
+    k, m = pos.shape
+    c = feats.shape[1]
+    p = 128 // c
+    nt = m // tile
+    ng = k // gs
+    xp, mp = _pack(feats, p)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((k, tile), lambda t, lo_ref: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, tile), lambda t, lo_ref: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),  # packed feats stay in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # folded weights resident
+        ],
+        out_specs=pl.BlockSpec((tile, d), lambda t, lo_ref: (t, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((tile, d), jnp.float32),
+            pltpu.VMEM((ng, window // p, 128), feats.dtype),
+            pltpu.SemaphoreType.DMA((ng,)),
+        ],
+    )
+    kernel = functools.partial(_fwd_kernel_v3, c, d, gs)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m, d), feats.dtype),
+        interpret=interpret,
+    )(lo, pos, ok.astype(jnp.int32), xp, wcat)
 
 
 def _pack(feats: jax.Array, p: int):
@@ -274,8 +399,13 @@ def subm_conv_fwd(
     pos, ok = derive_pos(nbr, feats.shape[0])
     mp = -(-feats.shape[0] // p) * p  # packing follows the gather SOURCE
     lo, far = _plan_windows(pos, ok, tile, window, p, mp, group_size=gs)
-    out = _fwd_call(feats, pos, ok & ~far, weights.astype(feats.dtype), lo,
-                    tile, window, gs, interpret)
+    if _FWD_V3 and p > 1 and p * c == 128:
+        wcat = _fold_weights(weights, p, gs, feats.dtype)
+        out = _fwd_call_v3(feats, pos, ok & ~far, wcat, weights.shape[2], lo,
+                           tile, window, gs, interpret)
+    else:
+        out = _fwd_call(feats, pos, ok & ~far, weights.astype(feats.dtype), lo,
+                        tile, window, gs, interpret)
     return _far_correction_fwd(out, feats, nbr, weights.astype(feats.dtype), far)
 
 

@@ -178,6 +178,14 @@ _PALLAS_TILE = int(_os.environ.get("TPU3DWSIS_CONV_TILE", "256"))
 # 2048 (each coarse row's 8 children span up to ~8x the tile in fine rows).
 _PALLAS_WINDOW = int(_os.environ.get("TPU3DWSIS_CONV_WINDOW", "512"))
 _PALLAS_WINDOW_DOWN = int(_os.environ.get("TPU3DWSIS_CONV_WINDOW_DOWN", "2048"))
+# Per-width dispatch override: comma-separated gather-channel widths that run
+# the XLA path even when the kernel is eligible.  Measured (NEXT.md lever 6):
+# at the tiny L4 tables the XLA fwd beats the Pallas fwd (4.1 vs 7.2 ms) while
+# Pallas wins the bwd — net XLA is slightly ahead for C=160, so it is the
+# default exclusion.
+_XLA_WIDTHS = frozenset(
+    int(x) for x in _os.environ.get("TPU3DWSIS_CONV_XLA_WIDTHS", "160").split(",") if x
+)
 
 
 def _pallas_ok(gather_channels, m_table: int, m_src: int,
@@ -188,7 +196,7 @@ def _pallas_ok(gather_channels, m_table: int, m_src: int,
     evenly, and the gather source must be at least one window tall."""
     if _CONV_IMPL == "xla":
         return False
-    if any(c % 32 or c > 512 for c in gather_channels):
+    if any(c % 32 or c > 512 or c in _XLA_WIDTHS for c in gather_channels):
         return False
     if m_table % _PALLAS_TILE or m_src < window:
         return False
