@@ -123,9 +123,40 @@ def main():
     trainer.propagation_pass = prop_hook
     trainer.whole_scene_pass = whole_hook
 
+    # PROP_RESUME=<ckpt dir> restarts an interrupted curriculum from a stage
+    # checkpoint (TrainState + weak-label store + data-order RNG), mirroring
+    # train/cli.py --resume; the curriculum fast-forwards past finished stages.
+    resume_meta = None
+    rck = os.environ.get("PROP_RESUME", "")
+    if rck:
+        from tpu3dwsis.train.checkpoint import load_checkpoint
+
+        trainer.init_state()
+        trainer.state, meta = load_checkpoint(rck, trainer.state, store)
+        trainer.apply_resume_meta(meta)
+        resume_meta = meta
+        curve.append(
+            {"event": f"resume:{meta.get('stage')}@{meta.get('epoch')}",
+             **store.label_stats()}
+        )
+        print(f"# resumed from {rck}: {curve[-1]}", flush=True)
+        flush_partial()
+
     t0 = time.time()
-    trainer.run()
+    trainer.run(resume_meta=resume_meta)
     train_t = time.time() - t0
+
+    # persist the trained state so larger val sets can be evaluated post-hoc
+    # without retraining (the curriculum itself only saves at save_freq)
+    try:
+        from tpu3dwsis.train.checkpoint import save_checkpoint
+
+        save_checkpoint(
+            os.path.join(CACHE, "prop_final_ckpt"), trainer.state,
+            meta={"stage": "done", "epoch": 0},
+        )
+    except Exception as e:  # noqa: BLE001 — eval is the primary artifact
+        print(f"# final checkpoint save failed: {e!r}", flush=True)
 
     val = trainer.validate()
     from tpu3dwsis.infer.cli import evaluate_dataset
