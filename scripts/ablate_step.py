@@ -91,6 +91,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    if os.environ.get("ABL_CPU"):  # correctness smoke off-TPU (sitecustomize
+        jax.config.update("jax_platforms", "cpu")  # pins axon otherwise)
+
     os.environ.setdefault("BENCH_BATCH", str(BATCH))
     import bench  # reuse the honest-workload scene cache
 
@@ -457,6 +460,158 @@ def main():
             acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(STEPS))
             return acc
         timed_scan(f"subm_two_chained_L0_m{m}", run_two, x2, lp0.subm_nbr, w1, w2)
+
+    # =================== plan-construction probes ===================
+    # fwd_eval - fwd_net measured ~1.3 s of in-context preprocess (the
+    # standalone probe DCEs everything but subm_nbr[0]); these attribute it.
+    # Every probe alternates two REAL inputs via dynamic_index so nothing is
+    # loop-invariant-hoisted out of the scan.
+    plan_probes = {"plan_full", "vox", "subm_L0", "subm_L1", "lookup_L0",
+                   "invert_L0", "down_L0", "pool", "scatter"}
+    if plan_probes & set(WHAT):
+        from tpu3dwsis.ops import hashgrid, rulebook
+        from tpu3dwsis.ops import voxelize as vox_ops
+        from tpu3dwsis.ops.merge_lookup import merge_lookup
+
+        lvls0 = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs),
+            pres[0].plan.levels[0].level, pres[1].plan.levels[0].level)
+        lvls1 = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs),
+            pres[0].plan.levels[1].level, pres[1].plan.levels[1].level)
+        m0 = pres[0].plan.levels[0].level.keys.shape[0]
+
+        def force(*arrs):
+            return sum(jnp.sum(a.astype(jnp.float32)) for a in arrs)
+
+        def plan_scan(name, body_of, stacked_in):
+            @jax.jit
+            def run(stacked_in):
+                def body(acc, i):
+                    return acc + body_of(pick(stacked_in, i)), None
+                acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(STEPS))
+                return acc
+            timed_scan(name, run, stacked_in)
+
+        if "plan_full" in WHAT:
+            def full_body(b):
+                v = vox_ops.voxelize_coords(
+                    b.point_coords, statics.spatial_shape, statics.max_batch,
+                    statics.max_voxels, valid=b.point_valid)
+                plan = rulebook.build_unet_plan(
+                    rulebook.VoxelLevel(v.keys, v.coords, v.valid),
+                    statics.spatial_shape, statics.max_batch,
+                    statics.num_levels, statics.level_sizes)
+                s = force(v.p2v)
+                for lp in plan.levels:
+                    s += force(lp.subm_nbr)
+                    if lp.down_nbr is not None:
+                        s += force(lp.down_nbr, lp.parent, lp.child_offset)
+                return s
+            plan_scan("plan_full", full_body, stacked)
+
+        if "vox" in WHAT:
+            def vox_body(b):
+                v = vox_ops.voxelize_coords(
+                    b.point_coords, statics.spatial_shape, statics.max_batch,
+                    statics.max_voxels, valid=b.point_valid)
+                return force(v.keys, v.p2v)
+            plan_scan("vox", vox_body, stacked)
+
+        if "subm_L0" in WHAT:
+            plan_scan("subm_L0",
+                      lambda lv: force(rulebook.build_subm_table(
+                          lv, statics.spatial_shape, statics.max_batch)),
+                      lvls0)
+        if "subm_L1" in WHAT:
+            shape1 = tuple((s + 1) // 2 for s in statics.spatial_shape)
+            plan_scan("subm_L1",
+                      lambda lv: force(rulebook.build_subm_table(
+                          lv, shape1, statics.max_batch)),
+                      lvls1)
+
+        if "lookup_L0" in WHAT:
+            strides = np.asarray(
+                hashgrid.coord_strides(statics.spatial_shape, statics.max_batch)[1:],
+                np.int64)
+            delta = int((strides * np.array([-1, 0, 0], np.int64)).sum())
+
+            def lk_body(lv):
+                pos, found = merge_lookup(lv.keys, lv.keys + jnp.int32(delta))
+                return force(pos, found)
+            plan_scan("lookup_L0", lk_body, lvls0)
+
+        if "invert_L0" in WHAT:
+            negs = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs),
+                pres[0].plan.levels[0].subm_nbr[:13],
+                pres[1].plan.levels[0].subm_nbr[:13])
+
+            def inv_body(neg):
+                rows = jnp.arange(m0, dtype=jnp.int32)
+
+                def invert(nbr_k):
+                    inv = jnp.full((m0 + 1,), m0, jnp.int32).at[nbr_k].set(
+                        rows, mode="drop")
+                    return inv[:m0]
+                return force(jax.vmap(invert)(neg))
+            plan_scan("invert_L0", inv_body, negs)
+
+        if "down_L0" in WHAT:
+            def down_body(lv):
+                coarse, down_nbr, parent, child_offset = rulebook.build_downsample(
+                    lv, statics.spatial_shape, statics.max_batch,
+                    statics.level_sizes[1])
+                return force(coarse.keys, down_nbr, parent, child_offset)
+            plan_scan("down_L0", down_body, lvls0)
+
+        if "pool" in WHAT:
+            both = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs),
+                (batch0, pres[0].p2v), (batch1, pres[1].p2v))
+
+            def pool_body(bp):
+                b, p2v = bp
+                feats = jnp.concatenate(
+                    [b.point_rgb, b.point_xyz.astype(b.point_rgb.dtype)], axis=1)
+                vf = vox_ops.voxel_mean_pool(feats, p2v, statics.max_voxels)
+                from tpu3dwsis.ops.segment import segment_mean
+                s = b.num_superpoints
+                spc = segment_mean(b.point_xyz, b.point_sp, s + 1)[:s]
+                return force(vf, spc)
+            plan_scan("pool", pool_body, both)
+
+        if "scatter" in WHAT:
+            # raw 1-D int32 scatter cost at L0 scale: unique-permutation vs
+            # duplicate-heavy indices vs the same-size gather
+            perms = jnp.stack([jax.random.permutation(jax.random.PRNGKey(k), m0)
+                               for k in range(2)]).astype(jnp.int32)
+            dups = perms // 2  # every target hit twice
+            vals = jnp.arange(m0, dtype=jnp.int32)
+
+            def sc_body(idx):
+                out = jnp.full((m0 + 1,), 0, jnp.int32).at[idx].set(vals, mode="drop")
+                return out[0].astype(jnp.float32) + out[m0 - 1].astype(jnp.float32)
+            plan_scan("scatter_perm_L0", sc_body, perms)
+            plan_scan("scatter_dup_L0", sc_body, dups)
+
+            def sc_uniq_body(idx):
+                out = jnp.full((m0 + 1,), 0, jnp.int32).at[idx].set(
+                    vals, mode="drop", unique_indices=True)
+                return out[0].astype(jnp.float32) + out[m0 - 1].astype(jnp.float32)
+            plan_scan("scatter_uniq_L0", sc_uniq_body, perms)
+
+            shifted = jnp.stack([(jnp.arange(m0, dtype=jnp.int32) + k) % m0
+                                 for k in range(2)])
+
+            def sc_sortuniq_body(idx):
+                out = jnp.full((m0 + 1,), 0, jnp.int32).at[idx].set(
+                    vals, mode="drop", unique_indices=True, indices_are_sorted=True)
+                return out[0].astype(jnp.float32) + out[m0 - 1].astype(jnp.float32)
+            plan_scan("scatter_sortuniq_L0", sc_sortuniq_body, shifted)
+            plan_scan("gather_perm_L0",
+                      lambda idx: vals[idx][0].astype(jnp.float32)
+                      + vals[idx][m0 - 1].astype(jnp.float32), perms)
 
     if "convs" in WHAT:
         # per-level subm conv fwd / fwd+bwd micro-benches on real tables
