@@ -26,11 +26,17 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
 
 __all__ = ["merge_lookup"]
+
+# Route every scatter's dropped/duplicate rows to DISTINCT overflow slots so
+# the scatter can be declared unique_indices=True (XLA's serialized general
+# scatter vs its vectorized unique path) — A/B gate, default on.
+_UNIQ = os.environ.get("TPU3DWSIS_UNIQ_SCATTER", "1") != "0"
 
 
 @functools.partial(jax.jit, static_argnames=("chunk",))
@@ -82,19 +88,26 @@ def merge_lookup(table: jax.Array, queries: jax.Array, chunk: int = 256):
     b = diag - a  # table split
 
     # ---- per-chunk count: pos = b_j + #(table_slice <= query) ----
-    def chunk_count(a_j, b_j, a_next):
+    def chunk_count(a_j, b_j, a_next, base):
         qs = jax.lax.dynamic_slice(q_pad, (a_j,), (d,))
         ts = jax.lax.dynamic_slice(t_pad, (b_j,), (d,))
         cnt = jnp.sum(ts[None, :] <= qs[:, None], axis=1).astype(jnp.int32)
-        idx = a_j + jnp.arange(d, dtype=jnp.int32)
+        lane = jnp.arange(d, dtype=jnp.int32)
+        idx = a_j + lane
         valid = idx < a_next
-        return jnp.where(valid, b_j + cnt, 0), jnp.where(valid, idx, q)
+        # invalid lanes go to DISTINCT slots past q (chunk-base + lane), so
+        # every scatter index is unique: valid targets are the disjoint
+        # ranges [a_j, a_next), invalid ones live in [q, q + n_chunks*d)
+        fallback = q + base + lane if _UNIQ else jnp.int32(q)
+        return jnp.where(valid, b_j + cnt, 0), jnp.where(valid, idx, fallback)
 
-    counts, idxs = jax.vmap(chunk_count)(a[:-1], b[:-1], a[1:])
+    bases = jnp.arange(n_chunks, dtype=jnp.int32) * d
+    counts, idxs = jax.vmap(chunk_count)(a[:-1], b[:-1], a[1:], bases)
+    table_len = (q + n_chunks * d) if _UNIQ else (q + 1)
     cnt_of = (
-        jnp.zeros((q + 1,), jnp.int32)
+        jnp.zeros((table_len,), jnp.int32)
         .at[idxs.reshape(-1)]
-        .set(counts.reshape(-1), mode="drop")[:q]
+        .set(counts.reshape(-1), mode="drop", unique_indices=_UNIQ)[:q]
     )
 
     # cnt = #(t <= q); hit iff cnt>0 and table[cnt-1]==q

@@ -17,6 +17,7 @@ downsample table transposed) falls out structurally: the tables live in a
 from __future__ import annotations
 
 import itertools
+import os
 from typing import NamedTuple, Sequence, Tuple
 
 import jax
@@ -25,6 +26,12 @@ import numpy as np
 
 from . import hashgrid
 from .hashgrid import PAD_KEY
+
+# Unique-indices scatters (see merge_lookup._UNIQ): misses/overflow rows are
+# routed to distinct throwaway slots instead of one shared dump slot, so XLA
+# can take its vectorized unique-scatter path instead of the serialized
+# general one.  A/B gate, default on.
+_UNIQ = os.environ.get("TPU3DWSIS_UNIQ_SCATTER", "1") != "0" 
 
 __all__ = [
     "subm_offsets",
@@ -148,7 +155,14 @@ def build_subm_table(
     rows = jnp.arange(m, dtype=jnp.int32)
 
     def invert(nbr_k):
-        inv = jnp.full((m + 1,), m, jnp.int32).at[nbr_k].set(rows, mode="drop")
+        # hit targets are injective (distinct output coords -> distinct
+        # neighbor rows); misses (= m) are spread over slots [m+1, 2m+1)
+        if _UNIQ:
+            tgt = jnp.where(nbr_k == m, m + 1 + rows, nbr_k)
+            inv = jnp.full((2 * m + 1,), m, jnp.int32).at[tgt].set(
+                rows, mode="drop", unique_indices=True)
+        else:
+            inv = jnp.full((m + 1,), m, jnp.int32).at[nbr_k].set(rows, mode="drop")
         return inv[:m]
 
     pos = jax.vmap(invert)(neg)[::-1]  # offsets[K-1-i] table = invert(offsets[i])
@@ -195,15 +209,24 @@ def build_downsample(
     # (offset=child_offset[i], coarse=parent[i]) — one int32 scatter instead
     # of an 8-offset co-sort lookup.
     m_fine = fine.coords.shape[0]
-    flat_idx = jnp.where(
-        parent >= max_voxels_out, 8 * max_voxels_out, child_offset * max_voxels_out + parent
-    )
-    down_flat = (
-        jnp.full((8 * max_voxels_out + 1,), m_fine, jnp.int32)
-        .at[flat_idx]
-        .set(jnp.arange(m_fine, dtype=jnp.int32), mode="drop")
-    )
-    down_nbr = down_flat[: 8 * max_voxels_out].reshape(8, max_voxels_out)
+    fr = jnp.arange(m_fine, dtype=jnp.int32)
+    # (child_offset, parent) is the fine voxel's identity -> unique targets;
+    # overflow/invalid rows get distinct slots past the table
+    base = 8 * max_voxels_out
+    if _UNIQ:
+        flat_idx = jnp.where(
+            parent >= max_voxels_out, base + 1 + fr,
+            child_offset * max_voxels_out + parent)
+        down_flat = (
+            jnp.full((base + 1 + m_fine,), m_fine, jnp.int32)
+            .at[flat_idx].set(fr, mode="drop", unique_indices=True))
+    else:
+        flat_idx = jnp.where(
+            parent >= max_voxels_out, base, child_offset * max_voxels_out + parent)
+        down_flat = (
+            jnp.full((base + 1,), m_fine, jnp.int32)
+            .at[flat_idx].set(fr, mode="drop"))
+    down_nbr = down_flat[:base].reshape(8, max_voxels_out)
     return coarse, down_nbr, parent, child_offset
 
 
@@ -229,15 +252,24 @@ def link_levels(
     child_offset = ((rel[:, 0] * 2 + rel[:, 1]) * 2 + rel[:, 2]).astype(jnp.int32)
 
     m_fine = fine.coords.shape[0]
-    flat_idx = jnp.where(
-        parent >= max_voxels_out, 8 * max_voxels_out, child_offset * max_voxels_out + parent
-    )
-    down_flat = (
-        jnp.full((8 * max_voxels_out + 1,), m_fine, jnp.int32)
-        .at[flat_idx]
-        .set(jnp.arange(m_fine, dtype=jnp.int32), mode="drop")
-    )
-    down_nbr = down_flat[: 8 * max_voxels_out].reshape(8, max_voxels_out)
+    fr = jnp.arange(m_fine, dtype=jnp.int32)
+    # (child_offset, parent) is the fine voxel's identity -> unique targets;
+    # overflow/invalid rows get distinct slots past the table
+    base = 8 * max_voxels_out
+    if _UNIQ:
+        flat_idx = jnp.where(
+            parent >= max_voxels_out, base + 1 + fr,
+            child_offset * max_voxels_out + parent)
+        down_flat = (
+            jnp.full((base + 1 + m_fine,), m_fine, jnp.int32)
+            .at[flat_idx].set(fr, mode="drop", unique_indices=True))
+    else:
+        flat_idx = jnp.where(
+            parent >= max_voxels_out, base, child_offset * max_voxels_out + parent)
+        down_flat = (
+            jnp.full((base + 1,), m_fine, jnp.int32)
+            .at[flat_idx].set(fr, mode="drop"))
+    down_nbr = down_flat[:base].reshape(8, max_voxels_out)
     return down_nbr, parent, child_offset
 
 

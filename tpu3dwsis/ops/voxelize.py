@@ -19,6 +19,7 @@ reference does by re-voxelizing instance masks (``test_scannetv2.py:386-390``,
 """
 from __future__ import annotations
 
+import os
 from typing import NamedTuple, Sequence
 
 import jax
@@ -29,6 +30,9 @@ from .hashgrid import PAD_KEY
 from .segment import segment_count, segment_mean
 
 __all__ = ["Voxelization", "voxelize_coords", "voxel_mean_pool", "count_occupied_voxels"]
+
+# Unique-indices scatters (see merge_lookup._UNIQ) — A/B gate, default on.
+_UNIQ = os.environ.get("TPU3DWSIS_UNIQ_SCATTER", "1") != "0"
 
 
 class Voxelization(NamedTuple):
@@ -79,13 +83,24 @@ def voxelize_coords(
     first = first & (ks != PAD_KEY)
     idx = jnp.cumsum(first.astype(jnp.int32)) - 1  # voxel row per sorted point
     in_cap = idx < max_voxels
-    uniq = (
-        jnp.full((max_voxels + 1,), PAD_KEY, jnp.int32)
-        .at[jnp.where(first & in_cap, idx, max_voxels)]
-        .set(ks, mode="drop")[:max_voxels]
-    )
+    if _UNIQ:
+        # first-occurrence targets are strictly increasing -> unique; the
+        # rest (repeats / overflow) go to distinct slots past the table
+        rowid = jnp.arange(n, dtype=jnp.int32)
+        tgt = jnp.where(first & in_cap, idx, max_voxels + 1 + rowid)
+        uniq = (
+            jnp.full((max_voxels + 1 + n,), PAD_KEY, jnp.int32)
+            .at[tgt].set(ks, mode="drop", unique_indices=True)[:max_voxels]
+        )
+    else:
+        uniq = (
+            jnp.full((max_voxels + 1,), PAD_KEY, jnp.int32)
+            .at[jnp.where(first & in_cap, idx, max_voxels)]
+            .set(ks, mode="drop")[:max_voxels]
+        )
     p2v_s = jnp.where((ks != PAD_KEY) & in_cap, idx, max_voxels).astype(jnp.int32)
-    p2v = jnp.zeros((n,), jnp.int32).at[order].set(p2v_s)
+    # order is an argsort permutation -> trivially unique
+    p2v = jnp.zeros((n,), jnp.int32).at[order].set(p2v_s, unique_indices=_UNIQ)
     vvalid = uniq != PAD_KEY
     num = jnp.sum(vvalid.astype(jnp.int32))
     vcoords = hashgrid.unpack_coords(jnp.where(vvalid, uniq, 0), spatial_shape, max_batch)
