@@ -75,7 +75,25 @@ def load_checkpoint(
     given, its per-scene state is restored in place.
     """
     ckptr = ocp.PyTreeCheckpointer()
-    payload = ckptr.restore(os.path.abspath(path))
+    if state is None:
+        # no template: restore to host numpy (works regardless of the
+        # platform/sharding the checkpoint was written under)
+        from orbax.checkpoint._src.metadata import value as ocp_value
+
+        meta = ckptr.metadata(os.path.abspath(path))
+
+        def _ra(m):
+            # arrays -> host numpy; scalars/strings keep their native types
+            if isinstance(m, (ocp_value.ScalarMetadata, ocp_value.StringMetadata)):
+                return ocp.RestoreArgs()
+            return ocp.RestoreArgs(restore_type=np.ndarray)
+
+        restore_args = jax.tree_util.tree_map(_ra, meta.item_metadata)
+        payload = ckptr.restore(
+            os.path.abspath(path), restore_args=restore_args
+        )
+    else:
+        payload = ckptr.restore(os.path.abspath(path))
     if weak_store is not None and "weak" in payload:
         weak_store.state_from_arrays(
             {
