@@ -227,3 +227,40 @@ def test_far_correction_overflow_runs_extra_rounds():
     feats_null = jnp.concatenate([feats, jnp.zeros((1, c))])
     refw = jnp.stack([tile_side.T @ feats_null[nbr[kk]] for kk in range(k)])
     np.testing.assert_allclose(np.asarray(got), np.asarray(refw), rtol=2e-4, atol=2e-4)
+
+
+def test_pad_tail_skip_exact():
+    """Batch buckets pad tables to capacity with a trailing all-miss run;
+    the kernels skip those tiles (_active_rows) and must still be exact —
+    including zeros on the padding rows and a correct dW."""
+    from tpu3dwsis.ops.pallas_spconv2 import _active_rows
+
+    rng = np.random.default_rng(8)
+    m, c = 2048, 32
+    nbr_np = np.array(real_table(m, rng, shape=(24, 24, 24)))  # writable copy
+    # force a ~45% padding tail: every row >= nvalid is all-miss
+    nvalid = 1100
+    nbr_np[:, nvalid:] = m
+    nbr_np = np.where(nbr_np >= nvalid, m, nbr_np)  # no hits INTO the tail either
+    nbr = jnp.asarray(nbr_np)
+
+    anyok = (nbr_np < m).any(axis=0)
+    got_rows = int(_active_rows(jnp.asarray(nbr_np) < m)[0])
+    assert got_rows == int(np.flatnonzero(anyok).max()) + 1 <= nvalid
+
+    feats = jnp.asarray(rng.standard_normal((m, c)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((27, c, c)).astype(np.float32) * 0.2)
+    g = jnp.asarray(rng.standard_normal((m, c)).astype(np.float32))
+
+    ref = gather_conv(feats, nbr, w)
+    out = subm_conv_fwd(feats, nbr, w, tile=128, window=512, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+    assert np.all(np.asarray(out)[nvalid:] == 0.0)
+
+    def loss(feats, w):
+        return jnp.sum(gather_conv(feats, nbr, w) * g)
+
+    dx_ref, dw_ref = jax.grad(loss, argnums=(0, 1))(feats, w)
+    dx, dw = subm_conv_bwd(feats, g, nbr, w, tile=128, window=512, interpret=True)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_ref), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dw), np.asarray(dw_ref), rtol=2e-4, atol=2e-4)

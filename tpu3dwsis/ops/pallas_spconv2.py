@@ -50,6 +50,27 @@ __all__ = [
 # gate until measured on hardware; applies only to packed widths (C<=64).
 _FWD_V3 = os.environ.get("TPU3DWSIS_CONV_V3", "1") != "0"
 
+# Skip tiles past the last live table row.  Batch buckets pad every level's
+# voxel tables to fit_statics capacity (~66% occupancy at bench batch 6), and
+# collate packs scenes contiguously so padding is one sorted TAIL — those
+# tiles are all-miss and contribute exactly zero, yet cost the same DMAs and
+# MXU issue slots as live tiles.  A scalar-prefetch row count gates each
+# tile's whole group loop (outputs still written: zeros).
+_SKIP_PAD = os.environ.get("TPU3DWSIS_CONV_SKIP_PAD", "1") != "0"
+
+
+def _active_rows(ok: jax.Array) -> jax.Array:
+    """``[1]`` int32: table rows up to and including the last row with any
+    hit.  Correct for ANY table (interleaved misses just mean no skip); the
+    win case is the standard sorted-keys layout where padding rows are a
+    trailing all-miss run."""
+    m = ok.shape[1]
+    if not _SKIP_PAD:
+        return jnp.full((1,), m, jnp.int32)
+    anyok = jnp.any(ok, axis=0)
+    tail = jnp.cumprod(jnp.flip(~anyok).astype(jnp.int32))
+    return (m - jnp.sum(tail)).astype(jnp.int32).reshape(1)
+
 
 def derive_pos(nbr: jax.Array, num_src_rows: int):
     """(pos, ok) from a miss-folded neighbor table.  The kernel masks miss
@@ -95,7 +116,7 @@ def _plan_windows(pos, ok, tile: int, window: int, p: int, mp: int, group_size: 
     return lo, far.reshape(k, m)
 
 
-def _fwd_kernel(c, gs, lo_ref, pos_ref, ok_ref, xp_hbm, w_ref, out_ref, acc_ref, win_ref, sem):
+def _fwd_kernel(c, gs, nrows_ref, lo_ref, pos_ref, ok_ref, xp_hbm, w_ref, out_ref, acc_ref, win_ref, sem):
     t = pl.program_id(0)
     k_total = pos_ref.shape[0]
     tile = pos_ref.shape[1]
@@ -110,45 +131,51 @@ def _fwd_kernel(c, gs, lo_ref, pos_ref, ok_ref, xp_hbm, w_ref, out_ref, acc_ref,
             xp_hbm.at[pl.ds(lo_p, wp), :], win_ref.at[g], sem.at[g]
         )
 
-    # issue every group window up front so DMA latencies overlap each other
-    # and the one-hot matmuls
-    copies = [dma(g) for g in range(n_groups)]
-    for cp in copies:
-        cp.start()
     acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # static unroll over offsets: all ref indices (window group, weight row,
-    # table row) stay compile-time constants, which Mosaic lowers reliably.
-    # NOTE: both matmuls here are M-bound (~T MXU cycles regardless of K/N),
-    # so merging them across offsets cannot save cycles — and concatenating
-    # narrow gathered tiles into wide operands costs lane relayouts that
-    # measured ~25% SLOWER at train-step scale.  Keep one gather + one
-    # weight matmul per offset.
-    iota = jax.lax.broadcasted_iota(jnp.int32, (tile, wp), 1)
-    for g in range(n_groups):
-        copies[g].wait()
-        for k in range(g * gs, (g + 1) * gs):
-            local = pos_ref[k, :] - lo_ref[g, t]  # [T]
-            ok = (ok_ref[k, :] > 0) & (local >= 0) & (local < wp * p)
-            sel_packed = jnp.where(ok, local // p, -1)  # -1 never matches
-            onehot = iota == jnp.broadcast_to(sel_packed.reshape(tile, 1), (tile, wp))
-            g128 = jax.lax.dot_general(
-                onehot.astype(win_ref.dtype),
-                win_ref[g],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [T, lanes]
-            sub = jnp.where(ok, local % p, -1)
-            gath = jnp.zeros((tile, c), jnp.float32)
-            for j in range(p):
-                pick = (sub == j).astype(jnp.float32)
-                gath = gath + jnp.broadcast_to(pick.reshape(tile, 1), (tile, c)) * g128[:, j * c : (j + 1) * c]
-            acc_ref[:] += jax.lax.dot_general(
-                gath.astype(w_ref.dtype),
-                w_ref[k],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+    # tiles past the last live row are all-miss (padding tail): skip their
+    # DMAs and matmuls entirely, write the zeros below
+    @pl.when(t * tile < nrows_ref[0])
+    def _compute():
+        # issue every group window up front so DMA latencies overlap each
+        # other and the one-hot matmuls
+        copies = [dma(g) for g in range(n_groups)]
+        for cp in copies:
+            cp.start()
+
+        # static unroll over offsets: all ref indices (window group, weight
+        # row, table row) stay compile-time constants, which Mosaic lowers
+        # reliably.
+        # NOTE: both matmuls here are M-bound (~T MXU cycles regardless of
+        # K/N), so merging them across offsets cannot save cycles — and
+        # concatenating narrow gathered tiles into wide operands costs lane
+        # relayouts that measured ~25% SLOWER at train-step scale.  Keep one
+        # gather + one weight matmul per offset.
+        iota = jax.lax.broadcasted_iota(jnp.int32, (tile, wp), 1)
+        for g in range(n_groups):
+            copies[g].wait()
+            for k in range(g * gs, (g + 1) * gs):
+                local = pos_ref[k, :] - lo_ref[g, t]  # [T]
+                ok = (ok_ref[k, :] > 0) & (local >= 0) & (local < wp * p)
+                sel_packed = jnp.where(ok, local // p, -1)  # -1 never matches
+                onehot = iota == jnp.broadcast_to(sel_packed.reshape(tile, 1), (tile, wp))
+                g128 = jax.lax.dot_general(
+                    onehot.astype(win_ref.dtype),
+                    win_ref[g],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [T, lanes]
+                sub = jnp.where(ok, local % p, -1)
+                gath = jnp.zeros((tile, c), jnp.float32)
+                for j in range(p):
+                    pick = (sub == j).astype(jnp.float32)
+                    gath = gath + jnp.broadcast_to(pick.reshape(tile, 1), (tile, c)) * g128[:, j * c : (j + 1) * c]
+                acc_ref[:] += jax.lax.dot_general(
+                    gath.astype(w_ref.dtype),
+                    w_ref[k],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
 
     out_ref[:] = acc_ref[:].astype(out_ref.dtype)
 
@@ -176,7 +203,7 @@ def _fold_weights(weights: jax.Array, p: int, gs: int, dtype) -> jax.Array:
     return wcat.astype(dtype)
 
 
-def _fwd_kernel_v3(c, d, gs, lo_ref, pos_ref, ok_ref, xp_hbm, wcat_ref, out_ref,
+def _fwd_kernel_v3(c, d, gs, nrows_ref, lo_ref, pos_ref, ok_ref, xp_hbm, wcat_ref, out_ref,
                    acc_ref, win_ref, sem):
     """v3 forward: the per-offset weight matmul is folded into ONE per-group
     precompute ``WV = window @ wcat`` ([wp, 128] @ [128, gs*seg]), so each
@@ -199,48 +226,51 @@ def _fwd_kernel_v3(c, d, gs, lo_ref, pos_ref, ok_ref, xp_hbm, wcat_ref, out_ref,
             xp_hbm.at[pl.ds(lo_p, wp), :], win_ref.at[g], sem.at[g]
         )
 
-    copies = [dma(g) for g in range(n_groups)]
-    for cp in copies:
-        cp.start()
     acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    iota = jax.lax.broadcasted_iota(jnp.int32, (tile, wp), 1)
-    for g in range(n_groups):
-        copies[g].wait()
-        wv = jax.lax.dot_general(
-            win_ref[g],
-            wcat_ref[g],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(win_ref.dtype)  # [wp, gs*seg]
-        for k in range(g * gs, (g + 1) * gs):
-            local = pos_ref[k, :] - lo_ref[g, t]
-            ok = (ok_ref[k, :] > 0) & (local >= 0) & (local < wp * p)
-            sel_packed = jnp.where(ok, local // p, -1)
-            onehot = iota == jnp.broadcast_to(sel_packed.reshape(tile, 1), (tile, wp))
-            kl = k - g * gs
-            y = jax.lax.dot_general(
-                onehot.astype(win_ref.dtype),
-                wv[:, kl * seg : kl * seg + p * d],
+    @pl.when(t * tile < nrows_ref[0])  # skip padding-tail tiles (see _fwd_kernel)
+    def _compute():
+        copies = [dma(g) for g in range(n_groups)]
+        for cp in copies:
+            cp.start()
+
+        iota = jax.lax.broadcasted_iota(jnp.int32, (tile, wp), 1)
+        for g in range(n_groups):
+            copies[g].wait()
+            wv = jax.lax.dot_general(
+                win_ref[g],
+                wcat_ref[g],
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # [T, p*d]: candidate j's weighted contribution in block j
-            # select candidate sub-row j(t) per output row with ONE lane mask
-            # (lane // d == sub) instead of p pick-broadcast rounds
-            sub = jnp.where(ok, local % p, -1)
-            lane_j = jax.lax.broadcasted_iota(jnp.int32, (tile, p * d), 1) // d
-            mask = (lane_j == jnp.broadcast_to(sub.reshape(tile, 1), (tile, p * d))).astype(jnp.float32)
-            y4 = y * mask
-            contrib = y4[:, 0:d]
-            for j in range(1, p):
-                contrib = contrib + y4[:, j * d : (j + 1) * d]
-            acc_ref[:] += contrib
+            ).astype(win_ref.dtype)  # [wp, gs*seg]
+            for k in range(g * gs, (g + 1) * gs):
+                local = pos_ref[k, :] - lo_ref[g, t]
+                ok = (ok_ref[k, :] > 0) & (local >= 0) & (local < wp * p)
+                sel_packed = jnp.where(ok, local // p, -1)
+                onehot = iota == jnp.broadcast_to(sel_packed.reshape(tile, 1), (tile, wp))
+                kl = k - g * gs
+                y = jax.lax.dot_general(
+                    onehot.astype(win_ref.dtype),
+                    wv[:, kl * seg : kl * seg + p * d],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [T, p*d]: candidate j's weighted contribution in block j
+                # select candidate sub-row j(t) per output row with ONE lane
+                # mask (lane // d == sub) instead of p pick-broadcast rounds
+                sub = jnp.where(ok, local % p, -1)
+                lane_j = jax.lax.broadcasted_iota(jnp.int32, (tile, p * d), 1) // d
+                mask = (lane_j == jnp.broadcast_to(sub.reshape(tile, 1), (tile, p * d))).astype(jnp.float32)
+                y4 = y * mask
+                contrib = y4[:, 0:d]
+                for j in range(1, p):
+                    contrib = contrib + y4[:, j * d : (j + 1) * d]
+                acc_ref[:] += contrib
 
     out_ref[:] = acc_ref[:].astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("d", "tile", "window", "gs", "interpret"))
-def _fwd_call_v3(feats, pos, ok, wcat, d, lo, tile, window, gs, interpret):
+def _fwd_call_v3(feats, pos, ok, wcat, d, lo, nrows, tile, window, gs, interpret):
     k, m = pos.shape
     c = feats.shape[1]
     p = 128 // c
@@ -249,15 +279,15 @@ def _fwd_call_v3(feats, pos, ok, wcat, d, lo, tile, window, gs, interpret):
     xp, mp = _pack(feats, p)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(nt,),
         in_specs=[
-            pl.BlockSpec((k, tile), lambda t, lo_ref: (0, t), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, tile), lambda t, lo_ref: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, tile), lambda t, nr, lo_ref: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, tile), lambda t, nr, lo_ref: (0, t), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),  # packed feats stay in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),  # folded weights resident
         ],
-        out_specs=pl.BlockSpec((tile, d), lambda t, lo_ref: (t, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((tile, d), lambda t, nr, lo_ref: (t, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((tile, d), jnp.float32),
             pltpu.VMEM((ng, window // p, 128), feats.dtype),
@@ -270,7 +300,7 @@ def _fwd_call_v3(feats, pos, ok, wcat, d, lo, tile, window, gs, interpret):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((m, d), feats.dtype),
         interpret=interpret,
-    )(lo, pos, ok.astype(jnp.int32), xp, wcat)
+    )(nrows, lo, pos, ok.astype(jnp.int32), xp, wcat)
 
 
 def _pack(feats: jax.Array, p: int):
@@ -290,7 +320,7 @@ def _pack(feats: jax.Array, p: int):
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "window", "gs", "interpret"))
-def _fwd_call(feats, pos, ok, weights, lo, tile, window, gs, interpret):
+def _fwd_call(feats, pos, ok, weights, lo, nrows, tile, window, gs, interpret):
     k, m = pos.shape
     c, d = weights.shape[1], weights.shape[2]
     p = max(1, 128 // c)
@@ -299,15 +329,15 @@ def _fwd_call(feats, pos, ok, weights, lo, tile, window, gs, interpret):
     xp, mp = _pack(feats, p)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,  # lo
+        num_scalar_prefetch=2,  # nrows, lo
         grid=(nt,),
         in_specs=[
-            pl.BlockSpec((k, tile), lambda t, lo_ref: (0, t), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, tile), lambda t, lo_ref: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, tile), lambda t, nr, lo_ref: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, tile), lambda t, nr, lo_ref: (0, t), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),  # packed feats stay in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),  # weights fully resident
         ],
-        out_specs=pl.BlockSpec((tile, d), lambda t, lo_ref: (t, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((tile, d), lambda t, nr, lo_ref: (t, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((tile, d), jnp.float32),
             pltpu.VMEM((ng, window // p, -(-(p * c) // 128) * 128), feats.dtype),
@@ -320,7 +350,7 @@ def _fwd_call(feats, pos, ok, weights, lo, tile, window, gs, interpret):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((m, d), feats.dtype),
         interpret=interpret,
-    )(lo, pos, ok.astype(jnp.int32), xp, weights)
+    )(nrows, lo, pos, ok.astype(jnp.int32), xp, weights)
 
 
 def _compact_indices(flat: jax.Array, cap: int, fill: int, base=0) -> jax.Array:
@@ -399,18 +429,19 @@ def subm_conv_fwd(
     pos, ok = derive_pos(nbr, feats.shape[0])
     mp = -(-feats.shape[0] // p) * p  # packing follows the gather SOURCE
     lo, far = _plan_windows(pos, ok, tile, window, p, mp, group_size=gs)
+    nrows = _active_rows(ok)
     if _FWD_V3 and p > 1 and p * c == 128:
         wcat = _fold_weights(weights, p, gs, feats.dtype)
         out = _fwd_call_v3(feats, pos, ok & ~far, wcat, weights.shape[2], lo,
-                           tile, window, gs, interpret)
+                           nrows, tile, window, gs, interpret)
     else:
         out = _fwd_call(feats, pos, ok & ~far, weights.astype(feats.dtype), lo,
-                        tile, window, gs, interpret)
+                        nrows, tile, window, gs, interpret)
     return _far_correction_fwd(out, feats, nbr, weights.astype(feats.dtype), far)
 
 
 # ---------------------------------------------------------------- backward
-def _bwd_kernel(c, gs, lo_ref, pos_ref, ok_ref, gp_hbm, wt_ref, x_ref, dx_ref, dw_ref,
+def _bwd_kernel(c, gs, nrows_ref, lo_ref, pos_ref, ok_ref, gp_hbm, wt_ref, x_ref, dx_ref, dw_ref,
                 acc_ref, win_ref, sem):
     """Shared-gather backward: one window gather of the upstream grad per
     offset serves BOTH dx (gk @ W^T[flip k]) and dW[flip k] (x_tile^T @ gk).
@@ -437,47 +468,50 @@ def _bwd_kernel(c, gs, lo_ref, pos_ref, ok_ref, gp_hbm, wt_ref, x_ref, dx_ref, d
             gp_hbm.at[pl.ds(lo_p, wp), :], win_ref.at[g], sem.at[g]
         )
 
-    copies = [dma(g) for g in range(n_groups)]
-    for cp in copies:
-        cp.start()
     acc_ref[:] = jnp.zeros_like(acc_ref)
-    xf = x_ref[:].astype(jnp.float32)
-    iota = jax.lax.broadcasted_iota(jnp.int32, (tile, wp), 1)
 
-    for g in range(n_groups):  # static unroll (see _fwd_kernel)
-        copies[g].wait()
-        for k in range(g * gs, (g + 1) * gs):
-            local = pos_ref[k, :] - lo_ref[g, t]
-            ok = (ok_ref[k, :] > 0) & (local >= 0) & (local < wp * p)
-            sel_packed = jnp.where(ok, local // p, -1)
-            onehot = iota == jnp.broadcast_to(sel_packed.reshape(tile, 1), (tile, wp))
-            g128 = jax.lax.dot_general(
-                onehot.astype(win_ref.dtype),
-                win_ref[g],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            sub = jnp.where(ok, local % p, -1)
-            gk = jnp.zeros((tile, d), jnp.float32)
-            for j in range(p):
-                pick = (sub == j).astype(jnp.float32)
-                gk = gk + jnp.broadcast_to(pick.reshape(tile, 1), (tile, d)) * g128[:, j * d : (j + 1) * d]
-            acc_ref[:] += jax.lax.dot_general(
-                gk.astype(wt_ref.dtype),
-                wt_ref[k],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [T, C]
-            # dW[k] += x_tile^T @ gk : [C, D]
-            dw_ref[k] += jax.lax.dot_general(
-                xf, gk, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-            )
+    @pl.when(t * tile < nrows_ref[0])  # skip padding-tail tiles (see _fwd_kernel)
+    def _compute():
+        copies = [dma(g) for g in range(n_groups)]
+        for cp in copies:
+            cp.start()
+        xf = x_ref[:].astype(jnp.float32)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (tile, wp), 1)
+
+        for g in range(n_groups):  # static unroll (see _fwd_kernel)
+            copies[g].wait()
+            for k in range(g * gs, (g + 1) * gs):
+                local = pos_ref[k, :] - lo_ref[g, t]
+                ok = (ok_ref[k, :] > 0) & (local >= 0) & (local < wp * p)
+                sel_packed = jnp.where(ok, local // p, -1)
+                onehot = iota == jnp.broadcast_to(sel_packed.reshape(tile, 1), (tile, wp))
+                g128 = jax.lax.dot_general(
+                    onehot.astype(win_ref.dtype),
+                    win_ref[g],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                sub = jnp.where(ok, local % p, -1)
+                gk = jnp.zeros((tile, d), jnp.float32)
+                for j in range(p):
+                    pick = (sub == j).astype(jnp.float32)
+                    gk = gk + jnp.broadcast_to(pick.reshape(tile, 1), (tile, d)) * g128[:, j * d : (j + 1) * d]
+                acc_ref[:] += jax.lax.dot_general(
+                    gk.astype(wt_ref.dtype),
+                    wt_ref[k],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [T, C]
+                # dW[k] += x_tile^T @ gk : [C, D]
+                dw_ref[k] += jax.lax.dot_general(
+                    xf, gk, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+                )
 
     dx_ref[:] = acc_ref[:].astype(dx_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "window", "gs", "interpret"))
-def _bwd_call(x, g, pos, ok, w_flipT, lo, tile, window, gs, interpret):
+def _bwd_call(x, g, pos, ok, w_flipT, lo, nrows, tile, window, gs, interpret):
     k, m = pos.shape
     c = x.shape[1]
     d = g.shape[1]
@@ -487,18 +521,18 @@ def _bwd_call(x, g, pos, ok, w_flipT, lo, tile, window, gs, interpret):
     gp, mp = _pack(g, p)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(nt,),
         in_specs=[
-            pl.BlockSpec((k, tile), lambda t, lo_ref: (0, t), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, tile), lambda t, lo_ref: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, tile), lambda t, nr, lo_ref: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, tile), lambda t, nr, lo_ref: (0, t), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),  # packed grad in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),  # flipped-transposed weights
-            pl.BlockSpec((tile, c), lambda t, lo_ref: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, c), lambda t, nr, lo_ref: (t, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((tile, c), lambda t, lo_ref: (t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, c, d), lambda t, lo_ref: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, c), lambda t, nr, lo_ref: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, c, d), lambda t, nr, lo_ref: (0, 0, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((tile, c), jnp.float32),
@@ -515,10 +549,10 @@ def _bwd_call(x, g, pos, ok, w_flipT, lo, tile, window, gs, interpret):
             jax.ShapeDtypeStruct((k, c, d), jnp.float32),
         ],
         interpret=interpret,
-    )(lo, pos, ok.astype(jnp.int32), gp, w_flipT, x)
+    )(nrows, lo, pos, ok.astype(jnp.int32), gp, w_flipT, x)
 
 
-def _dw_kernel(gs, lo_ref, pos_ref, ok_ref, src_hbm, x_ref, dw_ref, win_ref, sem):
+def _dw_kernel(gs, nrows_ref, lo_ref, pos_ref, ok_ref, src_hbm, x_ref, dw_ref, win_ref, sem):
     """dW[k] = Σ_tiles x_tile^T @ gather(src, nbr[k])_tile — the weight-grad
     half of the fused backward, standalone for the k2s2 down-table convs
     (their dx comes from a cheaper gather formulation)."""
@@ -541,37 +575,39 @@ def _dw_kernel(gs, lo_ref, pos_ref, ok_ref, src_hbm, x_ref, dw_ref, win_ref, sem
             src_hbm.at[pl.ds(lo_p, wp), :], win_ref.at[g], sem.at[g]
         )
 
-    copies = [dma(g) for g in range(n_groups)]
-    for cp in copies:
-        cp.start()
-    xf = x_ref[:].astype(jnp.float32)
-    iota = jax.lax.broadcasted_iota(jnp.int32, (tile, wp), 1)
+    @pl.when(t * tile < nrows_ref[0])  # skip padding-tail tiles (see _fwd_kernel)
+    def _compute():
+        copies = [dma(g) for g in range(n_groups)]
+        for cp in copies:
+            cp.start()
+        xf = x_ref[:].astype(jnp.float32)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (tile, wp), 1)
 
-    for g in range(n_groups):  # static unroll (see _fwd_kernel)
-        copies[g].wait()
-        for k in range(g * gs, (g + 1) * gs):
-            local = pos_ref[k, :] - lo_ref[g, t]
-            ok = (ok_ref[k, :] > 0) & (local >= 0) & (local < wp * p)
-            sel_packed = jnp.where(ok, local // p, -1)
-            onehot = iota == jnp.broadcast_to(sel_packed.reshape(tile, 1), (tile, wp))
-            g128 = jax.lax.dot_general(
-                onehot.astype(win_ref.dtype),
-                win_ref[g],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            sub = jnp.where(ok, local % p, -1)
-            gk = jnp.zeros((tile, cs), jnp.float32)
-            for j in range(p):
-                pick = (sub == j).astype(jnp.float32)
-                gk = gk + jnp.broadcast_to(pick.reshape(tile, 1), (tile, cs)) * g128[:, j * cs : (j + 1) * cs]
-            dw_ref[k] += jax.lax.dot_general(
-                xf, gk, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-            )
+        for g in range(n_groups):  # static unroll (see _fwd_kernel)
+            copies[g].wait()
+            for k in range(g * gs, (g + 1) * gs):
+                local = pos_ref[k, :] - lo_ref[g, t]
+                ok = (ok_ref[k, :] > 0) & (local >= 0) & (local < wp * p)
+                sel_packed = jnp.where(ok, local // p, -1)
+                onehot = iota == jnp.broadcast_to(sel_packed.reshape(tile, 1), (tile, wp))
+                g128 = jax.lax.dot_general(
+                    onehot.astype(win_ref.dtype),
+                    win_ref[g],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                sub = jnp.where(ok, local % p, -1)
+                gk = jnp.zeros((tile, cs), jnp.float32)
+                for j in range(p):
+                    pick = (sub == j).astype(jnp.float32)
+                    gk = gk + jnp.broadcast_to(pick.reshape(tile, 1), (tile, cs)) * g128[:, j * cs : (j + 1) * cs]
+                dw_ref[k] += jax.lax.dot_general(
+                    xf, gk, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+                )
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "window", "gs", "interpret"))
-def _dw_call(src, x, pos, ok, lo, tile, window, gs, interpret):
+def _dw_call(src, x, pos, ok, lo, nrows, tile, window, gs, interpret):
     k, m = pos.shape
     ct = x.shape[1]  # tile-side channels
     cs = src.shape[1]  # gather-source channels
@@ -581,16 +617,16 @@ def _dw_call(src, x, pos, ok, lo, tile, window, gs, interpret):
     sp, _ = _pack(src, p)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(nt,),
         in_specs=[
-            pl.BlockSpec((k, tile), lambda t, lo_ref: (0, t), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, tile), lambda t, lo_ref: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, tile), lambda t, nr, lo_ref: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, tile), lambda t, nr, lo_ref: (0, t), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),  # packed gather source
-            pl.BlockSpec((tile, ct), lambda t, lo_ref: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, ct), lambda t, nr, lo_ref: (t, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (k, ct, cs), lambda t, lo_ref: (0, 0, 0), memory_space=pltpu.VMEM
+            (k, ct, cs), lambda t, nr, lo_ref: (0, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
             pltpu.VMEM((ng, window // p, -(-(p * cs) // 128) * 128), src.dtype),
@@ -602,7 +638,7 @@ def _dw_call(src, x, pos, ok, lo, tile, window, gs, interpret):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((k, ct, cs), jnp.float32),
         interpret=interpret,
-    )(lo, pos, ok.astype(jnp.int32), sp, x)
+    )(nrows, lo, pos, ok.astype(jnp.int32), sp, x)
 
 
 def table_weight_grad(
@@ -622,7 +658,8 @@ def table_weight_grad(
     pos, ok = derive_pos(nbr, gather_src.shape[0])
     mp = -(-gather_src.shape[0] // p) * p
     lo, far = _plan_windows(pos, ok, tile, window, p, mp, group_size=gs)
-    dw = _dw_call(gather_src, tile_side, pos, ok & ~far, lo, tile, window, gs, interpret)
+    dw = _dw_call(gather_src, tile_side, pos, ok & ~far, lo, _active_rows(ok),
+                  tile, window, gs, interpret)
 
     cap = max(4096, m // 32)
     flat = far.reshape(-1)
@@ -664,7 +701,8 @@ def subm_conv_bwd(
     mp = -(-m // p) * p
     lo, far = _plan_windows(pos, ok, tile, window, p, mp, group_size=gs)
     w_flipT = jnp.flip(weights, axis=0).transpose(0, 2, 1).astype(g.dtype)  # [K, D, C]
-    dx, dw_flip = _bwd_call(feats, g, pos, ok & ~far, w_flipT, lo, tile, window, gs, interpret)
+    dx, dw_flip = _bwd_call(feats, g, pos, ok & ~far, w_flipT, lo, _active_rows(ok),
+                            tile, window, gs, interpret)
 
     # far corrections (rare rows): dx via gather+matmul, dW via outer products
     cap = max(4096, m // 32)
