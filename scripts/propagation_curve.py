@@ -100,7 +100,9 @@ def main():
         joint_training_epoch=EP[1],
         stage2_rounds=tuple(EP[2:-1]),
         stage3_epochs=EP[-1],
-        save_freq=10_000,
+        # mid-stage checkpoints so a container restart costs minutes, not a
+        # whole stage (PROP_RESUME fast-forwards from the newest one)
+        save_freq=int(os.environ.get("PROP_SAVE_FREQ", "20")),
         eval_freq=10_000,
         log_dir=os.path.join(CACHE, "prop_log"),
     )
