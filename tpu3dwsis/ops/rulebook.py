@@ -30,8 +30,28 @@ from .hashgrid import PAD_KEY
 # Unique-indices scatters (see merge_lookup._UNIQ): misses/overflow rows are
 # routed to distinct throwaway slots instead of one shared dump slot, so XLA
 # can take its vectorized unique-scatter path instead of the serialized
-# general one.  A/B gate, default on.
-_UNIQ = os.environ.get("TPU3DWSIS_UNIQ_SCATTER", "1") != "0" 
+# general one.  A/B gate, default on.  (Measured on hardware: raw 1-D scatter
+# cost is ~7 ns/row REGARDLESS of uniqueness declaration — the flag is kept
+# as a no-regression default, the real plan-construction win is the band
+# kernel below.)
+_UNIQ = os.environ.get("TPU3DWSIS_UNIQ_SCATTER", "1") != "0"
+
+# Band-merge Pallas kernel for the negative-half offset lookups: ONE kernel
+# per level instead of 13 merge_lookups (44.5 ms each at L0 bench scale —
+# their chunk slicing lowers to XLA row gathers).  See ops/pallas_band.py.
+# Modes: "1" (on, TPU backends), "0" (off), "interpret" (on everywhere via
+# the Pallas interpreter — tests monkeypatch this to cover the band path).
+_BAND_MODE = os.environ.get("TPU3DWSIS_BANDMERGE", "1")
+_BAND_TILE = int(os.environ.get("TPU3DWSIS_BAND_TILE", "256"))
+_BAND_WINDOW = int(os.environ.get("TPU3DWSIS_BAND_WINDOW", "512"))
+
+
+def _band_ok(m: int) -> bool:
+    if _BAND_MODE == "0" or m % _BAND_TILE or m < _BAND_WINDOW:
+        return False
+    if _BAND_MODE == "interpret":
+        return True
+    return jax.default_backend() in ("tpu", "axon")
 
 __all__ = [
     "subm_offsets",
@@ -139,14 +159,31 @@ def build_subm_table(
     # sorted.
     strides = np.asarray(hashgrid.coord_strides(spatial_shape, max_batch)[1:], np.int64)
     shape_arr = jnp.asarray([int(s) for s in spatial_shape], jnp.int32)
+    deltas = [int((strides * offsets_np[i].astype(np.int64)).sum()) for i in range(half)]
+    assert all(d < 0 for d in deltas), deltas
+
+    if _band_ok(m):
+        # one Pallas band-merge kernel for all negative-half offsets; shared
+        # windows per dx plane (row-major half => contiguous dx runs)
+        from .pallas_band import band_subm_lookup
+
+        dx_vals = offsets_np[:half, 0]
+        gsizes = tuple(int((dx_vals == v).sum()) for v in sorted(set(dx_vals.tolist())))
+        pos_all = band_subm_lookup(
+            level.keys, tuple(deltas), gsizes, tile=_BAND_TILE, window=_BAND_WINDOW,
+            interpret=_BAND_MODE == "interpret",
+        )
+        pos_list = [(pos_all[i], pos_all[i] < m) for i in range(half)]
+    else:
+        pos_list = [
+            merge_lookup(level.keys, level.keys + jnp.int32(deltas[i]))
+            for i in range(half)
+        ]
+
     neg_rows = []
     for i in range(half):
-        off = offsets_np[i]
-        delta = int((strides * off.astype(np.int64)).sum())
-        assert delta < 0, (off, delta)
-        qk = level.keys + jnp.int32(delta)
-        pos, found = merge_lookup(level.keys, qk)
-        shifted = level.coords[:, 1:] + jnp.asarray(off, jnp.int32)[None, :]
+        pos, found = pos_list[i]
+        shifted = level.coords[:, 1:] + jnp.asarray(offsets_np[i], jnp.int32)[None, :]
         in_range = jnp.all((shifted >= 0) & (shifted < shape_arr[None, :]), axis=1)
         ok = found & in_range & level.valid & (level.keys != PAD_KEY)
         neg_rows.append(jnp.where(ok, pos, m).astype(jnp.int32))
