@@ -264,3 +264,72 @@ def test_pad_tail_skip_exact():
     dx, dw = subm_conv_bwd(feats, g, nbr, w, tile=128, window=512, interpret=True)
     np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_ref), rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(dw), np.asarray(dw_ref), rtol=2e-4, atol=2e-4)
+
+
+def test_fused_bnrelu_fwd_matches_oracle():
+    """conv(relu(x*s+t)) with the affine+ReLU applied in-kernel must match
+    the unfused composition (reference ResidualBlock pre-activation,
+    sparse_unet3d.py:103-172)."""
+    rng = np.random.default_rng(9)
+    m, k, c = 4096, 27, 32
+    nbr = make_tables(m, k, rng)
+    feats = jnp.asarray(rng.standard_normal((m, c)).astype(np.float32))
+    s = jnp.asarray(rng.standard_normal(c).astype(np.float32) * 0.5 + 1.0)
+    t = jnp.asarray(rng.standard_normal(c).astype(np.float32) * 0.2)
+    w = jnp.asarray(rng.standard_normal((k, c, c)).astype(np.float32) * 0.2)
+
+    ref = gather_conv(jax.nn.relu(feats * s[None] + t[None]), nbr, w)
+    out = subm_conv_fwd(feats, nbr, w, tile=256, window=1024, interpret=True,
+                        affine=(s, t))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_fused_bnrelu_bwd_matches_autodiff():
+    rng = np.random.default_rng(10)
+    m, c = 2048, 32
+    nbr = real_table(m, rng)
+    feats = jnp.asarray(rng.standard_normal((m, c)).astype(np.float32))
+    s = jnp.asarray(rng.standard_normal(c).astype(np.float32) * 0.5 + 1.0)
+    t = jnp.asarray(rng.standard_normal(c).astype(np.float32) * 0.2)
+    w = jnp.asarray(rng.standard_normal((27, c, c)).astype(np.float32) * 0.2)
+    g = jnp.asarray(rng.standard_normal((m, c)).astype(np.float32))
+
+    def loss(feats, s, t, w):
+        h = jax.nn.relu(feats * s[None] + t[None])
+        return jnp.sum(gather_conv(h, nbr, w) * g)
+
+    dx_ref, ds_ref, dt_ref, dw_ref = jax.grad(loss, argnums=(0, 1, 2, 3))(feats, s, t, w)
+    dx, dw, ds, dt = subm_conv_bwd(feats, g, nbr, w, tile=256, window=1024,
+                                   interpret=True, affine=(s, t))
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_ref), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dw), np.asarray(dw_ref), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(ds), np.asarray(ds_ref), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dt), np.asarray(dt_ref), rtol=2e-4, atol=2e-4)
+
+
+def test_fused_bnrelu_bwd_far_rows():
+    """Fused backward with a window small enough to force far-row folding."""
+    rng = np.random.default_rng(11)
+    m, c = 1024, 64
+    nbr = real_table(m, rng, shape=(32, 32, 32))
+    feats = jnp.asarray(rng.standard_normal((m, c)).astype(np.float32))
+    s = jnp.asarray(rng.standard_normal(c).astype(np.float32) * 0.5 + 1.0)
+    t = jnp.asarray(rng.standard_normal(c).astype(np.float32) * 0.2)
+    w = jnp.asarray(rng.standard_normal((27, c, c)).astype(np.float32) * 0.1)
+    g = jnp.asarray(rng.standard_normal((m, c)).astype(np.float32))
+
+    def loss(feats, s, t, w):
+        h = jax.nn.relu(feats * s[None] + t[None])
+        return jnp.sum(gather_conv(h, nbr, w) * g)
+
+    dx_ref, ds_ref, dt_ref, dw_ref = jax.grad(loss, argnums=(0, 1, 2, 3))(feats, s, t, w)
+    out_ref = gather_conv(jax.nn.relu(feats * s[None] + t[None]), nbr, w)
+    out = subm_conv_fwd(feats, nbr, w, tile=128, window=256, interpret=True,
+                        affine=(s, t))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref), rtol=2e-4, atol=2e-4)
+    dx, dw, ds, dt = subm_conv_bwd(feats, g, nbr, w, tile=128, window=256,
+                                   interpret=True, affine=(s, t))
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_ref), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dw), np.asarray(dw_ref), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(ds), np.asarray(ds_ref), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dt), np.asarray(dt_ref), rtol=2e-4, atol=2e-4)

@@ -27,8 +27,13 @@ class MaskedBatchNorm(nn.Module):
     affine: bool = True
 
     @nn.compact
-    def __call__(self, x, mask, train: bool):
-        """x: ``[M, C]``; mask: ``[M]`` bool/float over valid rows."""
+    def __call__(self, x, mask, train: bool, return_affine: bool = False):
+        """x: ``[M, C]``; mask: ``[M]`` bool/float over valid rows.
+
+        ``return_affine=True`` returns the equivalent per-channel fp32
+        ``(s, t)`` with ``bn(x) == x*s + t`` instead of applying it — for the
+        fused conv epilogue (``sparse_conv.subm_conv_bnrelu``).  Running
+        stats still update in train mode."""
         ra_mean = self.variable(
             "batch_stats", "mean", lambda: jnp.zeros((self.features,), jnp.float32)
         )
@@ -49,9 +54,17 @@ class MaskedBatchNorm(nn.Module):
         else:
             mean, var = ra_mean.value, ra_var.value
 
-        y = (x - mean[None, :]) / jnp.sqrt(var[None, :] + self.eps)
         if self.affine:
             scale = self.param("scale", nn.initializers.ones, (self.features,))
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
+
+        if return_affine:
+            inv = 1.0 / jnp.sqrt(var + self.eps)
+            s = scale * inv if self.affine else inv
+            t = (bias - mean * s) if self.affine else (-mean * inv)
+            return s, t
+
+        y = (x - mean[None, :]) / jnp.sqrt(var[None, :] + self.eps)
+        if self.affine:
             y = y * scale[None, :] + bias[None, :]
         return y.astype(x.dtype)

@@ -25,7 +25,7 @@ from ..ops import sparse_conv
 from ..ops.rulebook import UNetPlan
 from .norm import MaskedBatchNorm
 
-__all__ = ["SubMConv", "DownConv", "InverseConv", "ResidualBlock", "UBlock", "SparseUNet"]
+__all__ = ["SubMConv", "FusedSubMConv", "DownConv", "InverseConv", "ResidualBlock", "UBlock", "SparseUNet"]
 
 
 def _conv_init(k: int, cin: int):
@@ -45,6 +45,20 @@ class SubMConv(nn.Module):
         k = subm_nbr.shape[0]
         w = self.param("kernel", _conv_init(k, x.shape[-1]), (k, x.shape[-1], self.features))
         return sparse_conv.subm_conv(x, subm_nbr, w.astype(x.dtype))
+
+
+class FusedSubMConv(nn.Module):
+    """``SubMConv(relu(x*s + t))`` with the BN affine + ReLU fused into the
+    conv kernel's window loads (param tree identical to :class:`SubMConv`,
+    so checkpoints are interchangeable)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x, s, t, subm_nbr):
+        k = subm_nbr.shape[0]
+        w = self.param("kernel", _conv_init(k, x.shape[-1]), (k, x.shape[-1], self.features))
+        return sparse_conv.subm_conv_bnrelu(x, s, t, subm_nbr, w.astype(x.dtype))
 
 
 class DownConv(nn.Module):
@@ -92,15 +106,15 @@ def _id(x):
 
 
 class VGGBlock(nn.Module):
-    """BN→ReLU→SubM3 (``sparse_unet3d.py:175-211``, ``normalize_before``)."""
+    """BN→ReLU→SubM3 (``sparse_unet3d.py:175-211``, ``normalize_before``),
+    fused into the conv kernel's window loads."""
 
     features: int
 
     @nn.compact
     def __call__(self, x, subm_nbr, mask, train: bool, refresh=_id):
-        h = MaskedBatchNorm(x.shape[-1], name="bn")(x, mask, train)
-        h = nn.relu(h)
-        return refresh(SubMConv(self.features, name="conv")(h, subm_nbr))
+        s, t = MaskedBatchNorm(x.shape[-1], name="bn")(x, mask, train, return_affine=True)
+        return refresh(FusedSubMConv(self.features, name="conv")(x, s, t, subm_nbr))
 
 
 class AsymResidualBlock(nn.Module):
@@ -146,16 +160,14 @@ class ResidualBlock(nn.Module):
             identity = nn.Dense(
                 self.features, use_bias=False, dtype=x.dtype, name="i_branch"
             )(x)
-        h = MaskedBatchNorm(cin, eps=self.bn_eps, momentum=self.bn_momentum, name="bn1")(
-            x, mask, train
+        s1, t1 = MaskedBatchNorm(cin, eps=self.bn_eps, momentum=self.bn_momentum, name="bn1")(
+            x, mask, train, return_affine=True
         )
-        h = nn.relu(h)
-        h = refresh(SubMConv(self.features, name="conv1")(h, subm_nbr))
-        h = MaskedBatchNorm(self.features, eps=self.bn_eps, momentum=self.bn_momentum, name="bn2")(
-            h, mask, train
+        h = refresh(FusedSubMConv(self.features, name="conv1")(x, s1, t1, subm_nbr))
+        s2, t2 = MaskedBatchNorm(self.features, eps=self.bn_eps, momentum=self.bn_momentum, name="bn2")(
+            h, mask, train, return_affine=True
         )
-        h = nn.relu(h)
-        h = refresh(SubMConv(self.features, name="conv2")(h, subm_nbr))
+        h = refresh(FusedSubMConv(self.features, name="conv2")(h, s2, t2, subm_nbr))
         return h + identity
 
 

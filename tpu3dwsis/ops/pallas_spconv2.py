@@ -116,7 +116,7 @@ def _plan_windows(pos, ok, tile: int, window: int, p: int, mp: int, group_size: 
     return lo, far.reshape(k, m)
 
 
-def _fwd_kernel(c, gs, nrows_ref, lo_ref, pos_ref, ok_ref, xp_hbm, w_ref, out_ref, acc_ref, win_ref, sem):
+def _fwd_kernel(c, gs, fuse, nrows_ref, lo_ref, pos_ref, ok_ref, xp_hbm, w_ref, st_ref, out_ref, acc_ref, win_ref, sem):
     t = pl.program_id(0)
     k_total = pos_ref.shape[0]
     tile = pos_ref.shape[1]
@@ -154,14 +154,20 @@ def _fwd_kernel(c, gs, nrows_ref, lo_ref, pos_ref, ok_ref, xp_hbm, w_ref, out_re
         iota = jax.lax.broadcasted_iota(jnp.int32, (tile, wp), 1)
         for g in range(n_groups):
             copies[g].wait()
+            if fuse:
+                # pre-activation BN+ReLU folded into the conv input: one VPU
+                # affine on the window instead of a materialized [M, C] pass
+                win_g = jnp.maximum(win_ref[g] * st_ref[0:1, :] + st_ref[1:2, :], 0)
+            else:
+                win_g = win_ref[g]
             for k in range(g * gs, (g + 1) * gs):
                 local = pos_ref[k, :] - lo_ref[g, t]  # [T]
                 ok = (ok_ref[k, :] > 0) & (local >= 0) & (local < wp * p)
                 sel_packed = jnp.where(ok, local // p, -1)  # -1 never matches
                 onehot = iota == jnp.broadcast_to(sel_packed.reshape(tile, 1), (tile, wp))
                 g128 = jax.lax.dot_general(
-                    onehot.astype(win_ref.dtype),
-                    win_ref[g],
+                    onehot.astype(win_g.dtype),
+                    win_g,
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )  # [T, lanes]
@@ -203,7 +209,7 @@ def _fold_weights(weights: jax.Array, p: int, gs: int, dtype) -> jax.Array:
     return wcat.astype(dtype)
 
 
-def _fwd_kernel_v3(c, d, gs, nrows_ref, lo_ref, pos_ref, ok_ref, xp_hbm, wcat_ref, out_ref,
+def _fwd_kernel_v3(c, d, gs, fuse, nrows_ref, lo_ref, pos_ref, ok_ref, xp_hbm, wcat_ref, st_ref, out_ref,
                    acc_ref, win_ref, sem):
     """v3 forward: the per-offset weight matmul is folded into ONE per-group
     precompute ``WV = window @ wcat`` ([wp, 128] @ [128, gs*seg]), so each
@@ -237,8 +243,12 @@ def _fwd_kernel_v3(c, d, gs, nrows_ref, lo_ref, pos_ref, ok_ref, xp_hbm, wcat_re
         iota = jax.lax.broadcasted_iota(jnp.int32, (tile, wp), 1)
         for g in range(n_groups):
             copies[g].wait()
+            if fuse:
+                win_g = jnp.maximum(win_ref[g] * st_ref[0:1, :] + st_ref[1:2, :], 0)
+            else:
+                win_g = win_ref[g]
             wv = jax.lax.dot_general(
-                win_ref[g],
+                win_g,
                 wcat_ref[g],
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -269,8 +279,17 @@ def _fwd_kernel_v3(c, d, gs, nrows_ref, lo_ref, pos_ref, ok_ref, xp_hbm, wcat_re
     out_ref[:] = acc_ref[:].astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("d", "tile", "window", "gs", "interpret"))
-def _fwd_call_v3(feats, pos, ok, wcat, d, lo, nrows, tile, window, gs, interpret):
+def _pack_affine(s, t, p: int, c: int, dtype):
+    """``(s, t) [C]`` → ``[2, lanes]`` matching the window's p-row lane
+    packing (padding lanes get s=0, t=0 so they stay zero after the affine)."""
+    lanes = -(-(p * c) // 128) * 128
+    st = jnp.zeros((2, lanes), dtype)
+    st = st.at[0, : p * c].set(jnp.tile(s.astype(dtype), p))
+    return st.at[1, : p * c].set(jnp.tile(t.astype(dtype), p))
+
+
+@functools.partial(jax.jit, static_argnames=("d", "tile", "window", "gs", "fuse", "interpret"))
+def _fwd_call_v3(feats, pos, ok, wcat, d, lo, nrows, st, tile, window, gs, fuse, interpret):
     k, m = pos.shape
     c = feats.shape[1]
     p = 128 // c
@@ -286,6 +305,7 @@ def _fwd_call_v3(feats, pos, ok, wcat, d, lo, nrows, tile, window, gs, interpret
             pl.BlockSpec((k, tile), lambda t, nr, lo_ref: (0, t), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),  # packed feats stay in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),  # folded weights resident
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # [2, lanes] affine
         ],
         out_specs=pl.BlockSpec((tile, d), lambda t, nr, lo_ref: (t, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
@@ -294,13 +314,13 @@ def _fwd_call_v3(feats, pos, ok, wcat, d, lo, nrows, tile, window, gs, interpret
             pltpu.SemaphoreType.DMA((ng,)),
         ],
     )
-    kernel = functools.partial(_fwd_kernel_v3, c, d, gs)
+    kernel = functools.partial(_fwd_kernel_v3, c, d, gs, fuse)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((m, d), feats.dtype),
         interpret=interpret,
-    )(nrows, lo, pos, ok.astype(jnp.int32), xp, wcat)
+    )(nrows, lo, pos, ok.astype(jnp.int32), xp, wcat, st)
 
 
 def _pack(feats: jax.Array, p: int):
@@ -319,8 +339,8 @@ def _pack(feats: jax.Array, p: int):
     return xp, mp
 
 
-@functools.partial(jax.jit, static_argnames=("tile", "window", "gs", "interpret"))
-def _fwd_call(feats, pos, ok, weights, lo, nrows, tile, window, gs, interpret):
+@functools.partial(jax.jit, static_argnames=("tile", "window", "gs", "fuse", "interpret"))
+def _fwd_call(feats, pos, ok, weights, lo, nrows, st, tile, window, gs, fuse, interpret):
     k, m = pos.shape
     c, d = weights.shape[1], weights.shape[2]
     p = max(1, 128 // c)
@@ -336,6 +356,7 @@ def _fwd_call(feats, pos, ok, weights, lo, nrows, tile, window, gs, interpret):
             pl.BlockSpec((k, tile), lambda t, nr, lo_ref: (0, t), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),  # packed feats stay in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),  # weights fully resident
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # [2, lanes] affine
         ],
         out_specs=pl.BlockSpec((tile, d), lambda t, nr, lo_ref: (t, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
@@ -344,13 +365,13 @@ def _fwd_call(feats, pos, ok, weights, lo, nrows, tile, window, gs, interpret):
             pltpu.SemaphoreType.DMA((ng,)),
         ],
     )
-    kernel = functools.partial(_fwd_kernel, c, gs)
+    kernel = functools.partial(_fwd_kernel, c, gs, fuse)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((m, d), feats.dtype),
         interpret=interpret,
-    )(nrows, lo, pos, ok.astype(jnp.int32), xp, weights)
+    )(nrows, lo, pos, ok.astype(jnp.int32), xp, weights, st)
 
 
 def _compact_indices(flat: jax.Array, cap: int, fill: int, base=0) -> jax.Array:
@@ -385,12 +406,13 @@ def _far_rounds(flat, cap, carry, round_fn):
     return carry
 
 
-def _far_correction_fwd(out, feats, nbr, weights, far):
+def _far_correction_fwd(out, feats, nbr, weights, far, affine=None):
     """Add the contributions of rows whose neighbor fell outside the window:
     compact the (rare) far (k, m) pairs into fixed-size batches, gather,
     matmul per-row, scatter-add.  Batches of ``max(4096, M//32)`` repeat
     until all far rows are handled (``_far_rounds``), so overflow costs an
-    extra round instead of corrupting the output."""
+    extra round instead of corrupting the output.  ``affine`` mirrors the
+    kernel's fused input BN+ReLU on the gathered rows."""
     k, m = nbr.shape
     cap = max(4096, m // 32)
     c, d = weights.shape[1], weights.shape[2]
@@ -403,7 +425,12 @@ def _far_correction_fwd(out, feats, nbr, weights, far):
         kk = jnp.minimum(idx // m, k - 1)
         mm = jnp.where(idx < k * m, idx % m, m)  # m = dropped row
         src = jnp.where(idx < k * m, nbr[kk, jnp.minimum(mm, m - 1)], feats.shape[0] - 1)
-        g = feats[src].astype(jnp.float32)  # [cap, C]
+        g = feats[src]  # [cap, C]
+        if affine is not None:
+            s, t = affine
+            # same dtype as the in-kernel window affine for bit consistency
+            g = jnp.maximum(g * s.astype(g.dtype)[None, :] + t.astype(g.dtype)[None, :], 0)
+        g = g.astype(jnp.float32)
         wsel = weights.reshape(k, c * d)[kk].astype(jnp.float32).reshape(cap, c, d)
         contrib = jnp.einsum("fc,fcd->fd", g, wsel)
         live = (idx < k * m)[:, None]
@@ -420,8 +447,14 @@ def subm_conv_fwd(
     tile: int = 256,
     window: int = 2048,
     interpret: bool = False,
+    affine=None,  # optional (s, t) [C]: computes conv(relu(feats*s + t))
 ) -> jax.Array:
-    """Windowed-DMA submanifold conv forward (exact; see module docstring)."""
+    """Windowed-DMA submanifold conv forward (exact; see module docstring).
+
+    With ``affine``, the pre-activation BN+ReLU is applied to the window
+    tiles inside the kernel (reference epilogue semantics: ``ResidualBlock``
+    BN→ReLU→conv, ``modules/model/sparse_unet3d.py:103-172``) — the
+    normalized activation is never materialized in HBM."""
     k, m = nbr.shape
     c = feats.shape[1]
     p = max(1, 128 // c)
@@ -430,25 +463,36 @@ def subm_conv_fwd(
     mp = -(-feats.shape[0] // p) * p  # packing follows the gather SOURCE
     lo, far = _plan_windows(pos, ok, tile, window, p, mp, group_size=gs)
     nrows = _active_rows(ok)
+    fuse = affine is not None
+    if fuse:
+        st = _pack_affine(affine[0], affine[1], p, c, feats.dtype)
+    else:
+        st = jnp.zeros((2, -(-(p * c) // 128) * 128), feats.dtype)
     if _FWD_V3 and p > 1 and p * c == 128:
         wcat = _fold_weights(weights, p, gs, feats.dtype)
         out = _fwd_call_v3(feats, pos, ok & ~far, wcat, weights.shape[2], lo,
-                           nrows, tile, window, gs, interpret)
+                           nrows, st, tile, window, gs, fuse, interpret)
     else:
         out = _fwd_call(feats, pos, ok & ~far, weights.astype(feats.dtype), lo,
-                        nrows, tile, window, gs, interpret)
-    return _far_correction_fwd(out, feats, nbr, weights.astype(feats.dtype), far)
+                        nrows, st, tile, window, gs, fuse, interpret)
+    return _far_correction_fwd(out, feats, nbr, weights.astype(feats.dtype), far,
+                               affine=affine)
 
 
 # ---------------------------------------------------------------- backward
-def _bwd_kernel(c, gs, nrows_ref, lo_ref, pos_ref, ok_ref, gp_hbm, wt_ref, x_ref, dx_ref, dw_ref,
-                acc_ref, win_ref, sem):
+def _bwd_kernel(c, gs, fuse, nrows_ref, lo_ref, pos_ref, ok_ref, gp_hbm, wt_ref, x_ref, st_ref,
+                dx_ref, dw_ref, dst_ref, acc_ref, win_ref, sem):
     """Shared-gather backward: one window gather of the upstream grad per
     offset serves BOTH dx (gk @ W^T[flip k]) and dW[flip k] (x_tile^T @ gk).
     ``wt_ref`` is the pre-flipped, pre-transposed weight stack [K, D, C]
     (row k = W[K-1-k]^T) and ``dw_ref`` accumulates in the same flipped
     order; the XLA wrapper un-flips.  Per-offset matmuls (see _fwd_kernel:
-    merging across offsets measured slower)."""
+    merging across offsets measured slower).
+
+    With ``fuse`` the forward was conv(relu(x*s + t)): dW uses the
+    recomputed h = relu(x*s+t) tile, dx is folded in place (dh·1[pre>0]·s),
+    and ``dst_ref`` accumulates (ds, dt) = (Σ dh·1[pre>0]·x, Σ dh·1[pre>0])
+    — no BN/ReLU VJP passes over HBM at all."""
     t = pl.program_id(0)
     k_total = pos_ref.shape[0]
     tile = pos_ref.shape[1]
@@ -460,6 +504,7 @@ def _bwd_kernel(c, gs, nrows_ref, lo_ref, pos_ref, ok_ref, gp_hbm, wt_ref, x_ref
     @pl.when(t == 0)
     def _():
         dw_ref[:] = jnp.zeros_like(dw_ref)
+        dst_ref[:] = jnp.zeros_like(dst_ref)
 
     def dma(g):
         lo = lo_ref[g, t]
@@ -475,7 +520,14 @@ def _bwd_kernel(c, gs, nrows_ref, lo_ref, pos_ref, ok_ref, gp_hbm, wt_ref, x_ref
         copies = [dma(g) for g in range(n_groups)]
         for cp in copies:
             cp.start()
-        xf = x_ref[:].astype(jnp.float32)
+        if fuse:
+            # recompute the pre-activation in the forward's dtype so the
+            # ReLU mask matches the fused forward bit-for-bit
+            pre = x_ref[:] * st_ref[0:1, :] + st_ref[1:2, :]
+            xf = jnp.maximum(pre, 0).astype(jnp.float32)  # h, feeds dW
+            maskf = (pre > 0).astype(jnp.float32)
+        else:
+            xf = x_ref[:].astype(jnp.float32)
         iota = jax.lax.broadcasted_iota(jnp.int32, (tile, wp), 1)
 
         for g in range(n_groups):  # static unroll (see _fwd_kernel)
@@ -501,17 +553,23 @@ def _bwd_kernel(c, gs, nrows_ref, lo_ref, pos_ref, ok_ref, gp_hbm, wt_ref, x_ref
                     wt_ref[k],
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                )  # [T, C]
-                # dW[k] += x_tile^T @ gk : [C, D]
+                )  # [T, C] — dh (grad w.r.t. the conv input h)
+                # dW[k] += h_tile^T @ gk : [C, D]
                 dw_ref[k] += jax.lax.dot_general(
                     xf, gk, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
                 )
 
+        if fuse:
+            dh_m = acc_ref[:] * maskf  # dh·1[pre>0]
+            dst_ref[0, :] += jnp.sum(dh_m * x_ref[:].astype(jnp.float32), axis=0)
+            dst_ref[1, :] += jnp.sum(dh_m, axis=0)
+            acc_ref[:] = dh_m * st_ref[0:1, :].astype(jnp.float32)  # dx
+
     dx_ref[:] = acc_ref[:].astype(dx_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("tile", "window", "gs", "interpret"))
-def _bwd_call(x, g, pos, ok, w_flipT, lo, nrows, tile, window, gs, interpret):
+@functools.partial(jax.jit, static_argnames=("tile", "window", "gs", "fuse", "interpret"))
+def _bwd_call(x, g, pos, ok, w_flipT, lo, nrows, st, tile, window, gs, fuse, interpret):
     k, m = pos.shape
     c = x.shape[1]
     d = g.shape[1]
@@ -529,10 +587,12 @@ def _bwd_call(x, g, pos, ok, w_flipT, lo, nrows, tile, window, gs, interpret):
             pl.BlockSpec(memory_space=pltpu.HBM),  # packed grad in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),  # flipped-transposed weights
             pl.BlockSpec((tile, c), lambda t, nr, lo_ref: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # [2, C] affine
         ],
         out_specs=[
             pl.BlockSpec((tile, c), lambda t, nr, lo_ref: (t, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((k, c, d), lambda t, nr, lo_ref: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, c), lambda t, nr, lo_ref: (0, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((tile, c), jnp.float32),
@@ -540,16 +600,17 @@ def _bwd_call(x, g, pos, ok, w_flipT, lo, nrows, tile, window, gs, interpret):
             pltpu.SemaphoreType.DMA((ng,)),
         ],
     )
-    kernel = functools.partial(_bwd_kernel, c, gs)  # noqa: c unused in kernel body
+    kernel = functools.partial(_bwd_kernel, c, gs, fuse)  # noqa: c unused in kernel body
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((m, c), x.dtype),
             jax.ShapeDtypeStruct((k, c, d), jnp.float32),
+            jax.ShapeDtypeStruct((2, c), jnp.float32),
         ],
         interpret=interpret,
-    )(nrows, lo, pos, ok.astype(jnp.int32), gp, w_flipT, x)
+    )(nrows, lo, pos, ok.astype(jnp.int32), gp, w_flipT, x, st)
 
 
 def _dw_kernel(gs, nrows_ref, lo_ref, pos_ref, ok_ref, src_hbm, x_ref, dw_ref, win_ref, sem):
@@ -689,10 +750,13 @@ def subm_conv_bwd(
     tile: int = 256,
     window: int = 2048,
     interpret: bool = False,
+    affine=None,  # optional (s, t) [C] matching the fused forward
 ):
     """(dx, dW) via the shared-gather symmetry (see sparse_conv._subm_bwd):
     with g'_k = gather(g, nbr[k]),  dx = Σ_k g'_k @ W[K-1-k]^T  and
-    dW[K-1-k] = x^T @ g'_k."""
+    dW[K-1-k] = x^T @ g'_k.  With ``affine`` the forward was
+    conv(relu(x*s+t)); returns ``(dx, dW, ds, dt)`` with the BN/ReLU VJP
+    folded into the kernel (see _bwd_kernel)."""
     k, m = nbr.shape
     d = g.shape[1]
     p = max(1, 128 // d)
@@ -701,8 +765,13 @@ def subm_conv_bwd(
     mp = -(-m // p) * p
     lo, far = _plan_windows(pos, ok, tile, window, p, mp, group_size=gs)
     w_flipT = jnp.flip(weights, axis=0).transpose(0, 2, 1).astype(g.dtype)  # [K, D, C]
-    dx, dw_flip = _bwd_call(feats, g, pos, ok & ~far, w_flipT, lo, _active_rows(ok),
-                            tile, window, gs, interpret)
+    fuse = affine is not None
+    if fuse:
+        st = jnp.stack([affine[0], affine[1]]).astype(feats.dtype)  # [2, C]
+    else:
+        st = jnp.zeros((2, feats.shape[1]), feats.dtype)
+    dx, dw_flip, dst = _bwd_call(feats, g, pos, ok & ~far, w_flipT, lo, _active_rows(ok),
+                                 st, tile, window, gs, fuse, interpret)
 
     # far corrections (rare rows): dx via gather+matmul, dW via outer products
     cap = max(4096, m // 32)
@@ -714,21 +783,37 @@ def subm_conv_bwd(
     )
 
     def one_round(idx, carry):
-        dx_acc, dw_acc = carry
+        dx_acc, dw_acc, dst_acc = carry
         live = idx < k * m
         kk = jnp.minimum(idx // m, k - 1)
         mm = jnp.where(live, idx % m, m)
         src = jnp.where(live, nbr[kk, jnp.minimum(mm, m - 1)], g.shape[0] - 1)
         gk_far = jnp.where(live[:, None], g[src].astype(jnp.float32), 0.0)  # [cap, D]
-        contrib = jnp.einsum("fd,fdc->fc", gk_far, wT[kk])
-        dx_acc = dx_acc.at[mm].add(contrib)
-        x_far = jnp.where(live[:, None], x_pad[jnp.minimum(mm, m)].astype(jnp.float32), 0.0)
+        contrib = jnp.einsum("fd,fdc->fc", gk_far, wT[kk])  # dh at rows mm
+        x_raw = x_pad[jnp.minimum(mm, m)]
+        if fuse:
+            # fold the far dh through the same relu/affine as the kernel
+            pre = x_raw * st[0][None, :] + st[1][None, :]  # forward dtype
+            maskf = (pre > 0).astype(jnp.float32)
+            h_far = jnp.maximum(pre, 0).astype(jnp.float32)
+            dh_m = contrib * maskf
+            dx_acc = dx_acc.at[mm].add(dh_m * st[0].astype(jnp.float32)[None, :])
+            live_f = live[:, None].astype(jnp.float32)
+            dst_acc = dst_acc.at[0].add(
+                jnp.sum(dh_m * x_raw.astype(jnp.float32) * live_f, axis=0))
+            dst_acc = dst_acc.at[1].add(jnp.sum(dh_m * live_f, axis=0))
+            x_far = jnp.where(live[:, None], h_far, 0.0)
+        else:
+            dx_acc = dx_acc.at[mm].add(contrib)
+            x_far = jnp.where(live[:, None], x_raw.astype(jnp.float32), 0.0)
         dw_acc = dw_acc + jax.ops.segment_sum(
             jnp.einsum("fc,fd->fcd", x_far, gk_far), kk, num_segments=k
         )
-        return dx_acc, dw_acc
+        return dx_acc, dw_acc, dst_acc
 
-    dx_f, dw_flip = _far_rounds(flat, cap, (dx_f, dw_flip), one_round)
+    dx_f, dw_flip, dst = _far_rounds(flat, cap, (dx_f, dw_flip, dst), one_round)
     dx = dx_f[:m].astype(dx.dtype)
     dw = jnp.flip(dw_flip, axis=0)  # un-flip: dw[K-1-k] accumulated at row k
+    if fuse:
+        return dx, dw.astype(weights.dtype), dst[0], dst[1]
     return dx, dw.astype(weights.dtype)

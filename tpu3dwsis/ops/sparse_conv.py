@@ -36,6 +36,7 @@ __all__ = [
     "gather_conv",
     "scatter_conv",
     "subm_conv",
+    "subm_conv_bnrelu",
     "down_conv",
     "inverse_conv",
     "inverse_conv_raw",
@@ -241,6 +242,59 @@ def subm_conv(feats, subm_nbr, weights):
     ):
         return _subm_conv_pallas(feats, subm_nbr, weights)
     return subm_conv_xla(feats, subm_nbr, weights)
+
+
+# Fused pre-activation epilogue: conv(relu(x*s + t)).  The reference's
+# ResidualBlock runs BN→ReLU→SubMConv (modules/model/sparse_unet3d.py:103-172)
+# as three HBM round-trips; the fused kernel applies the affine+ReLU on the
+# window tiles it already DMAs, and its backward folds the ReLU mask, the
+# affine grads (ds, dt), and the dW h-recompute in kernel — removing every
+# BN/ReLU elementwise pass over [M, C].  A/B gate, default on.
+_FUSE_BN = _os.environ.get("TPU3DWSIS_FUSE_BN", "1") != "0"
+
+
+@jax.custom_vjp
+def _subm_conv_bnrelu_pallas(feats, s, t, subm_nbr, weights):
+    from .pallas_spconv2 import subm_conv_fwd
+
+    return subm_conv_fwd(
+        feats, subm_nbr, weights, tile=_PALLAS_TILE, window=_PALLAS_WINDOW,
+        affine=(s, t),
+    )
+
+
+def _subm_bnrelu_fwd(feats, s, t, subm_nbr, weights):
+    out = _subm_conv_bnrelu_pallas(feats, s, t, subm_nbr, weights)
+    return out, (feats, s, t, subm_nbr, weights)
+
+
+def _subm_bnrelu_bwd(res, g):
+    from .pallas_spconv2 import subm_conv_bwd
+
+    feats, s, t, nbr, w = res
+    dx, dw, ds, dt = subm_conv_bwd(
+        feats, g.astype(feats.dtype), nbr, w,
+        tile=_PALLAS_TILE, window=_PALLAS_WINDOW, affine=(s, t),
+    )
+    return (dx.astype(feats.dtype), ds.astype(s.dtype), dt.astype(t.dtype),
+            None, dw.astype(w.dtype))
+
+
+_subm_conv_bnrelu_pallas.defvjp(_subm_bnrelu_fwd, _subm_bnrelu_bwd)
+
+
+def subm_conv_bnrelu(feats, s, t, subm_nbr, weights):
+    """``subm_conv(relu(feats * s + t), ...)`` with the affine+ReLU fused
+    into the conv kernel on TPU; unfused fallback elsewhere.  ``s``/``t`` are
+    the per-channel BN affine (fp32), differentiable."""
+    if _FUSE_BN and _pallas_ok(
+        (feats.shape[1], weights.shape[2]), subm_nbr.shape[1], feats.shape[0]
+    ):
+        return _subm_conv_bnrelu_pallas(feats, s, t, subm_nbr, weights)
+    h = jax.nn.relu(
+        feats * s.astype(feats.dtype)[None, :] + t.astype(feats.dtype)[None, :]
+    )
+    return subm_conv(h, subm_nbr, weights)
 
 
 @jax.custom_vjp
