@@ -159,37 +159,47 @@ def build_subm_table(
     # sorted.
     strides = np.asarray(hashgrid.coord_strides(spatial_shape, max_batch)[1:], np.int64)
     shape_arr = jnp.asarray([int(s) for s in spatial_shape], jnp.int32)
-    deltas = [int((strides * offsets_np[i].astype(np.int64)).sum()) for i in range(half)]
-    assert all(d < 0 for d in deltas), deltas
+    rows = jnp.arange(m, dtype=jnp.int32)
+    center = jnp.where(level.valid, rows, m)[None, :]
 
-    if _band_ok(m):
-        # one Pallas band-merge kernel for all negative-half offsets; shared
-        # windows per dx plane (row-major half => contiguous dx runs)
-        from .pallas_band import band_subm_lookup
-
-        dx_vals = offsets_np[:half, 0]
-        gsizes = tuple(int((dx_vals == v).sum()) for v in sorted(set(dx_vals.tolist())))
-        pos_all = band_subm_lookup(
-            level.keys, tuple(deltas), gsizes, tile=_BAND_TILE, window=_BAND_WINDOW,
-            interpret=_BAND_MODE == "interpret",
-        )
-        pos_list = [(pos_all[i], pos_all[i] < m) for i in range(half)]
-    else:
-        pos_list = [
-            merge_lookup(level.keys, level.keys + jnp.int32(deltas[i]))
-            for i in range(half)
-        ]
-
-    neg_rows = []
-    for i in range(half):
-        pos, found = pos_list[i]
+    def masked(i, pos, found):
         shifted = level.coords[:, 1:] + jnp.asarray(offsets_np[i], jnp.int32)[None, :]
         in_range = jnp.all((shifted >= 0) & (shifted < shape_arr[None, :]), axis=1)
         ok = found & in_range & level.valid & (level.keys != PAD_KEY)
-        neg_rows.append(jnp.where(ok, pos, m).astype(jnp.int32))
-    neg = jnp.stack(neg_rows)
+        return jnp.where(ok, pos, m).astype(jnp.int32)
 
-    rows = jnp.arange(m, dtype=jnp.int32)
+    if _band_ok(m):
+        # ONE Pallas band-merge kernel for ALL non-center offsets (positive
+        # deltas break merge_lookup's global-sortedness requirement at the
+        # PAD tail, but the band kernel only needs per-tile window locality
+        # + the prefetched lower bound — PAD rows are masked and the tail is
+        # skipped).  Shared windows per dx plane: groups (9, 8, 9), the
+        # dx=0 group excluding the center offset.
+        from .pallas_band import band_subm_lookup
+
+        idxs = [i for i in range(k) if i != half]
+        deltas = tuple(
+            int((strides * offsets_np[i].astype(np.int64)).sum()) for i in idxs
+        )
+        dx_vals = [int(offsets_np[i][0]) for i in idxs]
+        gsizes = tuple(dx_vals.count(v) for v in sorted(set(dx_vals)))
+        pos_all = band_subm_lookup(
+            level.keys, deltas, gsizes, tile=_BAND_TILE, window=_BAND_WINDOW,
+            interpret=_BAND_MODE == "interpret",
+        )
+        tables = [masked(i, pos_all[j], pos_all[j] < m) for j, i in enumerate(idxs)]
+        return jnp.concatenate(
+            [jnp.stack(tables[:half]), center, jnp.stack(tables[half:])], axis=0
+        )
+
+    # XLA path: negative-half merge lookups + positive half by inversion
+    deltas = [int((strides * offsets_np[i].astype(np.int64)).sum()) for i in range(half)]
+    assert all(d < 0 for d in deltas), deltas
+    neg_rows = []
+    for i in range(half):
+        pos, found = merge_lookup(level.keys, level.keys + jnp.int32(deltas[i]))
+        neg_rows.append(masked(i, pos, found))
+    neg = jnp.stack(neg_rows)
 
     def invert(nbr_k):
         # hit targets are injective (distinct output coords -> distinct
@@ -203,7 +213,6 @@ def build_subm_table(
         return inv[:m]
 
     pos = jax.vmap(invert)(neg)[::-1]  # offsets[K-1-i] table = invert(offsets[i])
-    center = jnp.where(level.valid, rows, m)[None, :]
     return jnp.concatenate([neg, center, pos], axis=0)
 
 
