@@ -156,8 +156,15 @@ def _fwd_kernel(c, gs, fuse, nrows_ref, lo_ref, pos_ref, ok_ref, xp_hbm, w_ref, 
             copies[g].wait()
             if fuse:
                 # pre-activation BN+ReLU folded into the conv input: one VPU
-                # affine on the window instead of a materialized [M, C] pass
-                win_g = jnp.maximum(win_ref[g] * st_ref[0:1, :] + st_ref[1:2, :], 0)
+                # affine on the window instead of a materialized [M, C] pass.
+                # Computed in f32 (st_ref is f32) and rounded to the matmul
+                # dtype only at the end — a bf16 pre-activation flips the
+                # ReLU sign on rows where x*s+t straddles zero within bf16
+                # rounding, which makes the backward's mask (and XLA's
+                # excess-precision oracle) disagree by a full |dh·s| there.
+                win_g = jnp.maximum(
+                    win_ref[g].astype(jnp.float32) * st_ref[0:1, :] + st_ref[1:2, :], 0
+                ).astype(win_ref.dtype)
             else:
                 win_g = win_ref[g]
             for k in range(g * gs, (g + 1) * gs):
@@ -244,7 +251,10 @@ def _fwd_kernel_v3(c, d, gs, fuse, nrows_ref, lo_ref, pos_ref, ok_ref, xp_hbm, w
         for g in range(n_groups):
             copies[g].wait()
             if fuse:
-                win_g = jnp.maximum(win_ref[g] * st_ref[0:1, :] + st_ref[1:2, :], 0)
+                # f32 affine, rounded at the matmul input (see _fwd_kernel)
+                win_g = jnp.maximum(
+                    win_ref[g].astype(jnp.float32) * st_ref[0:1, :] + st_ref[1:2, :], 0
+                ).astype(win_ref.dtype)
             else:
                 win_g = win_ref[g]
             wv = jax.lax.dot_general(
@@ -428,8 +438,12 @@ def _far_correction_fwd(out, feats, nbr, weights, far, affine=None):
         g = feats[src]  # [cap, C]
         if affine is not None:
             s, t = affine
-            # same dtype as the in-kernel window affine for bit consistency
-            g = jnp.maximum(g * s.astype(g.dtype)[None, :] + t.astype(g.dtype)[None, :], 0)
+            # f32 affine rounded to the forward dtype — bit-consistent with
+            # the in-kernel window affine (h = round(relu(f32(x)*s + t)))
+            g = jnp.maximum(
+                g.astype(jnp.float32) * s.astype(jnp.float32)[None, :]
+                + t.astype(jnp.float32)[None, :], 0
+            ).astype(g.dtype)
         g = g.astype(jnp.float32)
         wsel = weights.reshape(k, c * d)[kk].astype(jnp.float32).reshape(cap, c, d)
         contrib = jnp.einsum("fc,fcd->fd", g, wsel)
@@ -465,9 +479,10 @@ def subm_conv_fwd(
     nrows = _active_rows(ok)
     fuse = affine is not None
     if fuse:
-        st = _pack_affine(affine[0], affine[1], p, c, feats.dtype)
+        # f32 always: the kernels apply the affine in f32 (mask consistency)
+        st = _pack_affine(affine[0], affine[1], p, c, jnp.float32)
     else:
-        st = jnp.zeros((2, -(-(p * c) // 128) * 128), feats.dtype)
+        st = jnp.zeros((2, -(-(p * c) // 128) * 128), jnp.float32)
     if _FWD_V3 and p > 1 and p * c == 128:
         wcat = _fold_weights(weights, p, gs, feats.dtype)
         out = _fwd_call_v3(feats, pos, ok & ~far, wcat, weights.shape[2], lo,
@@ -521,10 +536,12 @@ def _bwd_kernel(c, gs, fuse, nrows_ref, lo_ref, pos_ref, ok_ref, gp_hbm, wt_ref,
         for cp in copies:
             cp.start()
         if fuse:
-            # recompute the pre-activation in the forward's dtype so the
-            # ReLU mask matches the fused forward bit-for-bit
-            pre = x_ref[:] * st_ref[0:1, :] + st_ref[1:2, :]
-            xf = jnp.maximum(pre, 0).astype(jnp.float32)  # h, feeds dW
+            # recompute the pre-activation in f32, matching the fused
+            # forward's f32 affine exactly so the ReLU mask agrees row-wise
+            # (also: Mosaic cannot emit a packed bf16 cmpf on this target —
+            # "Target does not support this comparison" at 8x128x2xbf16)
+            pre = x_ref[:].astype(jnp.float32) * st_ref[0:1, :] + st_ref[1:2, :]
+            xf = jnp.maximum(pre, 0)  # h, feeds dW
             maskf = (pre > 0).astype(jnp.float32)
         else:
             xf = x_ref[:].astype(jnp.float32)
@@ -767,9 +784,9 @@ def subm_conv_bwd(
     w_flipT = jnp.flip(weights, axis=0).transpose(0, 2, 1).astype(g.dtype)  # [K, D, C]
     fuse = affine is not None
     if fuse:
-        st = jnp.stack([affine[0], affine[1]]).astype(feats.dtype)  # [2, C]
+        st = jnp.stack([affine[0], affine[1]]).astype(jnp.float32)  # [2, C]
     else:
-        st = jnp.zeros((2, feats.shape[1]), feats.dtype)
+        st = jnp.zeros((2, feats.shape[1]), jnp.float32)
     dx, dw_flip, dst = _bwd_call(feats, g, pos, ok & ~far, w_flipT, lo, _active_rows(ok),
                                  st, tile, window, gs, fuse, interpret)
 
@@ -792,10 +809,10 @@ def subm_conv_bwd(
         contrib = jnp.einsum("fd,fdc->fc", gk_far, wT[kk])  # dh at rows mm
         x_raw = x_pad[jnp.minimum(mm, m)]
         if fuse:
-            # fold the far dh through the same relu/affine as the kernel
-            pre = x_raw * st[0][None, :] + st[1][None, :]  # forward dtype
+            # fold the far dh through the same f32 relu/affine as the kernel
+            pre = x_raw.astype(jnp.float32) * st[0][None, :] + st[1][None, :]
             maskf = (pre > 0).astype(jnp.float32)
-            h_far = jnp.maximum(pre, 0).astype(jnp.float32)
+            h_far = jnp.maximum(pre, 0)
             dh_m = contrib * maskf
             dx_acc = dx_acc.at[mm].add(dh_m * st[0].astype(jnp.float32)[None, :])
             live_f = live[:, None].astype(jnp.float32)

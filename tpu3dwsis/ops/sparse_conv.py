@@ -291,9 +291,12 @@ def subm_conv_bnrelu(feats, s, t, subm_nbr, weights):
         (feats.shape[1], weights.shape[2]), subm_nbr.shape[1], feats.shape[0]
     ):
         return _subm_conv_bnrelu_pallas(feats, s, t, subm_nbr, weights)
+    # f32 affine rounded to the conv dtype — same semantics as the fused
+    # kernel (a bf16 pre-activation flips the ReLU mask near zero)
     h = jax.nn.relu(
-        feats * s.astype(feats.dtype)[None, :] + t.astype(feats.dtype)[None, :]
-    )
+        feats.astype(jnp.float32) * s.astype(jnp.float32)[None, :]
+        + t.astype(jnp.float32)[None, :]
+    ).astype(feats.dtype)
     return subm_conv(h, subm_nbr, weights)
 
 
