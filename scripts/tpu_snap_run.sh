@@ -1,7 +1,7 @@
 #!/bin/bash
 # Run a TPU job from an immutable snapshot of HEAD so source edits in
 # /root/repo can't race a queued run (compile cache + bench scenes shared
-# via symlink).  Usage: tpu_snap_run.sh <logfile> <cmd...>
+# via symlink).  Usage: tpu_snap_run.sh <cmd...>  (redirect output yourself)
 set -u
 SNAP=/tmp/tpu_snap
 if [ ! -d "$SNAP/.git_rev" ] || [ "$(cat $SNAP/.git_rev 2>/dev/null)" != "$(git -C /root/repo rev-parse HEAD)" ]; then
