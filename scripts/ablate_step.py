@@ -238,6 +238,43 @@ def main():
             float(out["loss"])
         report("train", (time.perf_counter() - t0) / reps * 1000, compile_t)
 
+    if "h2d" in WHAT:
+        # Host->device cost of one collated batch over the relay tunnel.
+        # The curriculum pays this per step on FRESH bytes (every collate is
+        # re-augmented), while bench/ablate alternate two identical buffers —
+        # if the relay content-caches uploads, the cost hides there and shows
+        # up only in the curriculum's step_t.  h2d_same vs h2d_fresh splits
+        # that: equal numbers mean no caching (transfer is honest), a large
+        # gap means fresh-byte uploads are the curriculum's hidden tax.
+        host_tree = jax.tree_util.tree_map(np.asarray, batch0)
+        nbytes = sum(v.nbytes for v in jax.tree_util.tree_leaves(host_tree))
+
+        @jax.jit
+        def checksum(b):
+            leaves = jax.tree_util.tree_leaves(b)
+            return sum(l.ravel()[0].astype(jnp.float32) for l in leaves)
+
+        def h2d_probe(name, trees):
+            try:
+                float(checksum(jax.device_put(trees[0])))  # compile + warm
+                t0 = time.perf_counter()
+                for t in trees[1:]:
+                    float(checksum(jax.device_put(t)))
+                report(name, (time.perf_counter() - t0) / (len(trees) - 1) * 1000,
+                       0.0)
+            except Exception as e:  # noqa: BLE001
+                print(json.dumps({"component": name, "error": repr(e)[:500]}),
+                      flush=True)
+
+        print(f"# h2d batch bytes: {nbytes/1e6:.1f} MB", file=sys.stderr, flush=True)
+        h2d_probe("h2d_same", [host_tree] * 5)
+        fresh = []
+        for i in range(5):
+            t = jax.tree_util.tree_map(np.copy, host_tree)
+            t = t._replace(point_feats=t.point_feats + np.float32(i + 1) * 1e-6)
+            fresh.append(t)
+        h2d_probe("h2d_fresh", fresh)
+
     # =================== SMALL components (scan) ===================
     if "fwd_net" in WHAT:
         # apply-only with a precomputed plan: fwd_eval - fwd_net = the true
