@@ -155,3 +155,115 @@ def test_custom_vjp_matches_autodiff():
     gx_a, gw_a = jax.grad(f_auto, argnums=(0, 1))(cfeat, wi)
     np.testing.assert_allclose(np.asarray(gx_c), np.asarray(gx_a), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(gw_c), np.asarray(gw_a), rtol=1e-4, atol=1e-5)
+
+
+def test_downsample_sortfree_matches_unique_oracle():
+    """The sort-free coarse unique (adjacent-diff on already-sorted halved
+    keys) must equal the jnp.unique formulation, incl. overflow truncation."""
+    from tpu3dwsis.ops.hashgrid import PAD_KEY, pack_coords
+
+    rng = np.random.default_rng(17)
+    shape, batch = (16, 16, 16), 2
+    coords = _random_scene(rng, 300, shape, batch)
+    m_pad = 384
+    vox = voxelize.voxelize_coords(jnp.asarray(coords), shape, batch, m_pad)
+    fine = rulebook.VoxelLevel(keys=vox.keys, coords=vox.coords, valid=vox.valid)
+
+    for cap in (m_pad, 40):  # ample capacity AND forced overflow truncation
+        coarse, down_nbr, parent, child_offset = rulebook.build_downsample(
+            fine, shape, batch, cap
+        )
+        coarse_shape = tuple((s + 1) // 2 for s in shape)
+        cc = np.asarray(fine.coords).copy()
+        cc[:, 1:] //= 2
+        ckeys = np.asarray(
+            pack_coords(jnp.asarray(cc), coarse_shape, batch, valid=fine.valid)
+        )
+        uniq_ref = np.unique(ckeys[ckeys != PAD_KEY])
+        keep = uniq_ref[:cap]
+        got = np.asarray(coarse.keys)
+        np.testing.assert_array_equal(got[: len(keep)], keep)
+        assert np.all(got[len(keep):] == PAD_KEY)
+        # parent: rows whose coarse key survived point at its slot, rest null
+        par = np.asarray(parent)
+        for i in range(len(ckeys)):
+            if ckeys[i] == PAD_KEY:
+                assert par[i] == cap
+            else:
+                j = np.searchsorted(keep, ckeys[i])
+                if j < len(keep) and keep[j] == ckeys[i]:
+                    assert par[i] == j
+                else:
+                    assert par[i] == cap
+
+
+def test_down_conv_bnrelu_matches_autodiff():
+    """Fused BN+ReLU down conv: dispatch fallback AND the Pallas custom-VJP
+    (interpret mode) must both match autodiff of the unfused composition."""
+    import functools
+
+    import jax
+
+    from tpu3dwsis.ops import pallas_spconv2 as p2
+    from tpu3dwsis.ops import sparse_conv as sc
+
+    rng = np.random.default_rng(23)
+    shape, batch, cin, cout = (12, 12, 12), 1, 32, 32
+    coords = _random_scene(rng, 500, shape, batch)
+    m_pad = 512
+    vox = voxelize.voxelize_coords(jnp.asarray(coords), shape, batch, m_pad)
+    level0 = rulebook.VoxelLevel(keys=vox.keys, coords=vox.coords, valid=vox.valid)
+    plan = rulebook.build_unet_plan(level0, shape, batch, 2, [m_pad, 256])
+    lp = plan.levels[0]
+
+    feats = jnp.asarray(rng.standard_normal((m_pad, cin)).astype(np.float32))
+    s = jnp.asarray(rng.standard_normal(cin).astype(np.float32) * 0.5 + 1.0)
+    t = jnp.asarray(rng.standard_normal(cin).astype(np.float32) * 0.2)
+    w = jnp.asarray(rng.standard_normal((8, cin, cout)).astype(np.float32) * 0.2)
+    cot = jnp.asarray(rng.standard_normal((256, cout)).astype(np.float32))
+
+    def f_ref(x, s, t, w):
+        h = jax.nn.relu(x * s[None] + t[None])
+        return (sparse_conv.gather_conv(h, lp.down_nbr, w) * cot).sum()
+
+    refs = jax.grad(f_ref, argnums=(0, 1, 2, 3))(feats, s, t, w)
+
+    def f_fused(x, s, t, w):
+        return (
+            sparse_conv.down_conv_bnrelu(
+                x, s, t, lp.down_nbr, lp.parent, lp.child_offset, w
+            ) * cot
+        ).sum()
+
+    # 1) CPU dispatch fallback
+    for got, ref in zip(jax.grad(f_fused, argnums=(0, 1, 2, 3))(feats, s, t, w), refs):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+    # 2) Pallas custom-VJP (interpret mode, forced dispatch, small windows)
+    import pytest
+
+    mp = pytest.MonkeyPatch()
+    try:
+        mp.setattr(sc, "_CONV_IMPL", "pallas")
+        mp.setattr(sc, "_PALLAS_TILE", 64)
+        mp.setattr(sc, "_PALLAS_WINDOW_DOWN", 128)
+        mp.setattr(sc, "_FUSE_BN", True)
+        mp.setattr(p2, "subm_conv_fwd", functools.partial(p2.subm_conv_fwd, interpret=True))
+        mp.setattr(p2, "table_weight_grad", functools.partial(p2.table_weight_grad, interpret=True))
+        out_fused = sparse_conv.down_conv_bnrelu(
+            feats, s, t, lp.down_nbr, lp.parent, lp.child_offset, w
+        )
+        out_ref = sparse_conv.gather_conv(
+            jax.nn.relu(feats * s[None] + t[None]), lp.down_nbr, w
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_fused), np.asarray(out_ref), rtol=2e-4, atol=2e-4
+        )
+        for got, ref in zip(
+            jax.grad(f_fused, argnums=(0, 1, 2, 3))(feats, s, t, w), refs
+        ):
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4
+            )
+    finally:
+        mp.undo()

@@ -25,7 +25,7 @@ from ..ops import sparse_conv
 from ..ops.rulebook import UNetPlan
 from .norm import MaskedBatchNorm
 
-__all__ = ["SubMConv", "FusedSubMConv", "DownConv", "InverseConv", "ResidualBlock", "UBlock", "SparseUNet"]
+__all__ = ["SubMConv", "FusedSubMConv", "DownConv", "FusedDownConv", "InverseConv", "ResidualBlock", "UBlock", "SparseUNet"]
 
 
 def _conv_init(k: int, cin: int):
@@ -71,6 +71,21 @@ class DownConv(nn.Module):
     def __call__(self, x, down_nbr, parent, child_offset):
         w = self.param("kernel", _conv_init(8, x.shape[-1]), (8, x.shape[-1], self.features))
         return sparse_conv.down_conv(x, down_nbr, parent, child_offset, w.astype(x.dtype))
+
+
+class FusedDownConv(nn.Module):
+    """``DownConv(relu(x*s + t))`` with the BN affine + ReLU fused into the
+    conv kernel's window loads (param tree identical to :class:`DownConv`,
+    so checkpoints are interchangeable)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x, s, t, down_nbr, parent, child_offset):
+        w = self.param("kernel", _conv_init(8, x.shape[-1]), (8, x.shape[-1], self.features))
+        return sparse_conv.down_conv_bnrelu(
+            x, s, t, down_nbr, parent, child_offset, w.astype(x.dtype)
+        )
 
 
 class InverseConv(nn.Module):
@@ -203,11 +218,12 @@ class UBlock(nn.Module):
             nxt_mask = nxt.level.valid
             rf_next = refreshes[self.depth + 1] if refreshes is not None else _id
             identity = x
-            # down: BN→ReLU→SparseConv3d(k2,s2)
-            h = MaskedBatchNorm(planes, name="down_bn")(x, mask, train)
-            h = nn.relu(h)
-            h = rf_next(DownConv(self.nPlanes[1], name="down_conv")(
-                h, lp.down_nbr, lp.parent, lp.child_offset
+            # down: BN→ReLU→SparseConv3d(k2,s2), fused into the conv kernel
+            sd, td = MaskedBatchNorm(planes, name="down_bn")(
+                x, mask, train, return_affine=True
+            )
+            h = rf_next(FusedDownConv(self.nPlanes[1], name="down_conv")(
+                x, sd, td, lp.down_nbr, lp.parent, lp.child_offset
             ))
             h = UBlock(
                 self.nPlanes[1:], self.block_reps, self.depth + 1, self.remat,

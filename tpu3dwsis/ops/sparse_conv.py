@@ -38,6 +38,7 @@ __all__ = [
     "subm_conv",
     "subm_conv_bnrelu",
     "down_conv",
+    "down_conv_bnrelu",
     "inverse_conv",
     "inverse_conv_raw",
     "inverse_conv_scatter",
@@ -380,6 +381,67 @@ def _down_pallas_bwd(res, g):
 
 
 _down_conv_pallas.defvjp(_down_pallas_fwd, _down_pallas_bwd)
+
+
+@jax.custom_vjp
+def _down_conv_bnrelu_pallas(feats, s, t, down_nbr, parent, child_offset, weights):
+    from .pallas_spconv2 import subm_conv_fwd
+
+    return subm_conv_fwd(
+        feats, down_nbr, weights, tile=_PALLAS_TILE,
+        window=_PALLAS_WINDOW_DOWN, affine=(s, t),
+    )
+
+
+def _down_bnrelu_fwd(feats, s, t, down_nbr, parent, child_offset, weights):
+    out = _down_conv_bnrelu_pallas(feats, s, t, down_nbr, parent, child_offset, weights)
+    return out, (feats, s, t, down_nbr, parent, child_offset, weights)
+
+
+def _down_bnrelu_bwd(res, g):
+    from .pallas_spconv2 import table_weight_grad
+
+    feats, s, t, down_nbr, parent, child_offset, w = res
+    g = g.astype(feats.dtype)
+    # dL/dh at fine rows (h = relu(x*s + t)): the transpose of the down conv
+    # is exactly the inverse-conv gather.
+    dh = inverse_conv_raw(g, parent, child_offset, w.transpose(0, 2, 1))
+    sf = s.astype(jnp.float32)[None, :]
+    pre = feats.astype(jnp.float32) * sf + t.astype(jnp.float32)[None, :]
+    # f32 affine invariant (see NEXT.md): the mask must match the kernel's
+    dpre = jnp.where(pre > 0, dh.astype(jnp.float32), 0.0)
+    dx = (dpre * sf).astype(feats.dtype)
+    ds = jnp.sum(dpre * feats.astype(jnp.float32), axis=0).astype(s.dtype)
+    dt = jnp.sum(dpre, axis=0).astype(t.dtype)
+    # dW needs the post-activation h the forward never materialized —
+    # recompute it once (same rounding as the in-kernel affine).
+    h = jnp.maximum(pre, 0.0).astype(feats.dtype)
+    dw = table_weight_grad(
+        h, g, down_nbr, tile=_PALLAS_TILE, window=_PALLAS_WINDOW_DOWN
+    ).transpose(0, 2, 1)
+    return dx, ds, dt, None, None, None, dw.astype(w.dtype)
+
+
+_down_conv_bnrelu_pallas.defvjp(_down_bnrelu_fwd, _down_bnrelu_bwd)
+
+
+def down_conv_bnrelu(feats, s, t, down_nbr, parent, child_offset, weights):
+    """``down_conv(relu(feats * s + t), ...)`` with the pre-activation BN
+    affine + ReLU fused into the conv kernel's window loads on TPU (the
+    reference's down path is BN→ReLU→SparseConv3d,
+    ``modules/model/sparse_unet3d.py:261-267``); unfused fallback elsewhere."""
+    if _FUSE_BN and _pallas_ok(
+        (feats.shape[1],), down_nbr.shape[1], feats.shape[0],
+        window=_PALLAS_WINDOW_DOWN,
+    ):
+        return _down_conv_bnrelu_pallas(
+            feats, s, t, down_nbr, parent, child_offset, weights
+        )
+    h = jax.nn.relu(
+        feats.astype(jnp.float32) * s.astype(jnp.float32)[None, :]
+        + t.astype(jnp.float32)[None, :]
+    ).astype(feats.dtype)
+    return down_conv(h, down_nbr, parent, child_offset, weights)
 
 
 def down_conv(feats, down_nbr, parent, child_offset, weights):
