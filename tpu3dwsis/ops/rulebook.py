@@ -61,8 +61,10 @@ __all__ = [
     "UNetPlan",
     "build_subm_table",
     "build_downsample",
+    "invert_down_link",
     "link_levels",
     "build_unet_plan",
+    "build_unet_plan_hosted",
     "build_unet_plan_from_levels",
 ]
 
@@ -234,9 +236,15 @@ def build_downsample(
     coarse_shape = tuple((int(s) + 1) // 2 for s in spatial_shape)
     cc = fine.coords.at[:, 1:].set(fine.coords[:, 1:] // 2)
     ckeys = hashgrid.pack_coords(cc, coarse_shape, max_batch, valid=fine.valid)
-    # the unique's own sort already knows every row's slot: return_inverse
-    # IS the parent map (the previous separate searchsorted paid another
-    # (M_fine + M_coarse) co-sort per level per step)
+    # NOTE: ``ckeys`` is NOT globally sorted even though ``fine.keys`` is —
+    # floor-halving carries across axis boundaries (fine (2,7,7) < (3,1,6)
+    # but halved (1,3,3) > (1,0,3)); it is only piecewise-sorted over the 8
+    # per-axis parity classes, so the unique needs a real sort.  A sort-free
+    # variant exists when the HOST precomputes the level link (see
+    # ``data/hostplan.py``) — this device path is the fallback.
+    # The unique's own sort already knows every row's slot: return_inverse
+    # IS the parent map (a separate searchsorted would pay another
+    # (M_fine + M_coarse) co-sort per level per step).
     uniq, inv = jnp.unique(
         ckeys, size=max_voxels_out, fill_value=PAD_KEY, return_inverse=True
     )
@@ -251,13 +259,20 @@ def build_downsample(
     rel = fine.coords[:, 1:] % 2
     child_offset = ((rel[:, 0] * 2 + rel[:, 1]) * 2 + rel[:, 2]).astype(jnp.int32)
 
-    # down_nbr is the inverse matching: fine row i sits at
-    # (offset=child_offset[i], coarse=parent[i]) — one int32 scatter instead
-    # of an 8-offset co-sort lookup.
-    m_fine = fine.coords.shape[0]
+    down_nbr = invert_down_link(parent, child_offset, max_voxels_out)
+    return coarse, down_nbr, parent, child_offset
+
+
+def invert_down_link(
+    parent: jax.Array, child_offset: jax.Array, max_voxels_out: int
+) -> jax.Array:
+    """``down_nbr`` is the inverse matching of (parent, child_offset): fine
+    row i sits at ``(offset=child_offset[i], coarse=parent[i])`` — one int32
+    scatter instead of an 8-offset co-sort lookup.  (child_offset, parent)
+    is the fine voxel's identity → unique targets; overflow/invalid rows get
+    distinct slots past the table."""
+    m_fine = parent.shape[0]
     fr = jnp.arange(m_fine, dtype=jnp.int32)
-    # (child_offset, parent) is the fine voxel's identity -> unique targets;
-    # overflow/invalid rows get distinct slots past the table
     base = 8 * max_voxels_out
     if _UNIQ:
         flat_idx = jnp.where(
@@ -272,8 +287,7 @@ def build_downsample(
         down_flat = (
             jnp.full((base + 1,), m_fine, jnp.int32)
             .at[flat_idx].set(fr, mode="drop"))
-    down_nbr = down_flat[:base].reshape(8, max_voxels_out)
-    return coarse, down_nbr, parent, child_offset
+    return down_flat[:base].reshape(8, max_voxels_out)
 
 
 def link_levels(
@@ -297,25 +311,7 @@ def link_levels(
     rel = fine.coords[:, 1:] % 2
     child_offset = ((rel[:, 0] * 2 + rel[:, 1]) * 2 + rel[:, 2]).astype(jnp.int32)
 
-    m_fine = fine.coords.shape[0]
-    fr = jnp.arange(m_fine, dtype=jnp.int32)
-    # (child_offset, parent) is the fine voxel's identity -> unique targets;
-    # overflow/invalid rows get distinct slots past the table
-    base = 8 * max_voxels_out
-    if _UNIQ:
-        flat_idx = jnp.where(
-            parent >= max_voxels_out, base + 1 + fr,
-            child_offset * max_voxels_out + parent)
-        down_flat = (
-            jnp.full((base + 1 + m_fine,), m_fine, jnp.int32)
-            .at[flat_idx].set(fr, mode="drop", unique_indices=True))
-    else:
-        flat_idx = jnp.where(
-            parent >= max_voxels_out, base, child_offset * max_voxels_out + parent)
-        down_flat = (
-            jnp.full((base + 1,), m_fine, jnp.int32)
-            .at[flat_idx].set(fr, mode="drop"))
-    down_nbr = down_flat[:base].reshape(8, max_voxels_out)
+    down_nbr = invert_down_link(parent, child_offset, max_voxels_out)
     return down_nbr, parent, child_offset
 
 
@@ -347,6 +343,52 @@ def build_unet_plan_from_levels(
             )
         )
         shape = tuple((s + 1) // 2 for s in shape)
+    return UNetPlan(levels=tuple(plans))
+
+
+def build_unet_plan_hosted(
+    level0: VoxelLevel,
+    hp_level_keys: Sequence[jax.Array],
+    hp_parents: Sequence[jax.Array],
+    spatial_shape: Sequence[int],
+    max_batch: int,
+) -> UNetPlan:
+    """Like :func:`build_unet_plan`, but the coarse key tables and parent
+    maps were precomputed on the HOST (``data/hostplan.py``) — the device
+    does no per-level sort at all: subm tables via the band kernel,
+    child_offset as an elementwise mod, down_nbr as one inversion scatter."""
+    num_levels = len(hp_level_keys) + 1
+    plans = []
+    level = level0
+    shape = tuple(int(s) for s in spatial_shape)
+    for i in range(num_levels):
+        subm = build_subm_table(level, shape, max_batch)
+        if i + 1 < num_levels:
+            ckeys = hp_level_keys[i]
+            cvalid = ckeys != PAD_KEY
+            coarse_shape = tuple((s + 1) // 2 for s in shape)
+            ccoords = hashgrid.unpack_coords(
+                jnp.where(cvalid, ckeys, 0), coarse_shape, max_batch
+            )
+            coarse = VoxelLevel(keys=ckeys, coords=ccoords, valid=cvalid)
+            parent = hp_parents[i]
+            rel = level.coords[:, 1:] % 2
+            child_offset = ((rel[:, 0] * 2 + rel[:, 1]) * 2 + rel[:, 2]).astype(jnp.int32)
+            down_nbr = invert_down_link(parent, child_offset, ckeys.shape[0])
+        else:
+            coarse, down_nbr, parent, child_offset = None, None, None, None
+        plans.append(
+            LevelPlan(
+                level=level,
+                subm_nbr=subm,
+                down_nbr=down_nbr,
+                parent=parent,
+                child_offset=child_offset,
+            )
+        )
+        if coarse is not None:
+            level = coarse
+            shape = tuple((s + 1) // 2 for s in shape)
     return UNetPlan(levels=tuple(plans))
 
 
