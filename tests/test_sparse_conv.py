@@ -267,3 +267,77 @@ def test_down_conv_bnrelu_matches_autodiff():
             )
     finally:
         mp.undo()
+
+
+def test_inverse_conv_bnrelu_matches_autodiff():
+    """Fused BN+ReLU inverse conv: dispatch fallback AND the fused custom-VJP
+    (interpret mode) must both match autodiff of the unfused composition."""
+    import functools
+
+    import jax
+
+    from tpu3dwsis.ops import pallas_spconv2 as p2
+    from tpu3dwsis.ops import sparse_conv as sc
+
+    rng = np.random.default_rng(29)
+    shape, batch, cin, cout = (12, 12, 12), 1, 64, 32
+    coords = _random_scene(rng, 500, shape, batch)
+    m_pad = 512
+    vox = voxelize.voxelize_coords(jnp.asarray(coords), shape, batch, m_pad)
+    level0 = rulebook.VoxelLevel(keys=vox.keys, coords=vox.coords, valid=vox.valid)
+    plan = rulebook.build_unet_plan(level0, shape, batch, 2, [m_pad, 256])
+    lp = plan.levels[0]
+    m_c = 256  # coarse capacity
+
+    feats = jnp.asarray(rng.standard_normal((m_c, cin)).astype(np.float32))
+    s = jnp.asarray(rng.standard_normal(cin).astype(np.float32) * 0.5 + 1.0)
+    t = jnp.asarray(rng.standard_normal(cin).astype(np.float32) * 0.2)
+    w = jnp.asarray(rng.standard_normal((8, cin, cout)).astype(np.float32) * 0.2)
+    cot = jnp.asarray(rng.standard_normal((m_pad, cout)).astype(np.float32))
+
+    def f_ref(x, s, t, w):
+        h = jax.nn.relu(x * s[None] + t[None])
+        out = sparse_conv.inverse_conv_raw(h, lp.parent, lp.child_offset, w)
+        return (out * cot).sum()
+
+    refs = jax.grad(f_ref, argnums=(0, 1, 2, 3))(feats, s, t, w)
+
+    def f_fused(x, s, t, w):
+        return (
+            sparse_conv.inverse_conv_bnrelu(
+                x, s, t, lp.parent, lp.child_offset, lp.down_nbr, w
+            ) * cot
+        ).sum()
+
+    # 1) CPU dispatch fallback
+    for got, ref in zip(jax.grad(f_fused, argnums=(0, 1, 2, 3))(feats, s, t, w), refs):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+    # 2) fused custom-VJP (interpret-mode Pallas backward, forced dispatch)
+    import pytest
+
+    mp = pytest.MonkeyPatch()
+    try:
+        mp.setattr(sc, "_CONV_IMPL", "pallas")
+        mp.setattr(sc, "_PALLAS_TILE", 64)
+        mp.setattr(sc, "_PALLAS_WINDOW_DOWN", 128)
+        mp.setattr(sc, "_FUSE_BN", True)
+        mp.setattr(p2, "subm_conv_fwd", functools.partial(p2.subm_conv_fwd, interpret=True))
+        mp.setattr(p2, "table_weight_grad", functools.partial(p2.table_weight_grad, interpret=True))
+        out_fused = sparse_conv.inverse_conv_bnrelu(
+            feats, s, t, lp.parent, lp.child_offset, lp.down_nbr, w
+        )
+        out_ref = sparse_conv.inverse_conv_raw(
+            jax.nn.relu(feats * s[None] + t[None]), lp.parent, lp.child_offset, w
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_fused), np.asarray(out_ref), rtol=2e-4, atol=2e-4
+        )
+        for got, ref in zip(
+            jax.grad(f_fused, argnums=(0, 1, 2, 3))(feats, s, t, w), refs
+        ):
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4
+            )
+    finally:
+        mp.undo()

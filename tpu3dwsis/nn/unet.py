@@ -25,7 +25,7 @@ from ..ops import sparse_conv
 from ..ops.rulebook import UNetPlan
 from .norm import MaskedBatchNorm
 
-__all__ = ["SubMConv", "FusedSubMConv", "DownConv", "FusedDownConv", "InverseConv", "ResidualBlock", "UBlock", "SparseUNet"]
+__all__ = ["SubMConv", "FusedSubMConv", "DownConv", "FusedDownConv", "InverseConv", "FusedInverseConv", "ResidualBlock", "UBlock", "SparseUNet"]
 
 
 def _conv_init(k: int, cin: int):
@@ -98,6 +98,21 @@ class InverseConv(nn.Module):
     def __call__(self, x, parent, child_offset, down_nbr):
         w = self.param("kernel", _conv_init(8, x.shape[-1]), (8, x.shape[-1], self.features))
         return sparse_conv.inverse_conv(x, parent, child_offset, down_nbr, w.astype(x.dtype))
+
+
+class FusedInverseConv(nn.Module):
+    """``InverseConv(relu(x*s + t))`` with the BN affine + ReLU folded into
+    the conv's custom VJP (param tree identical to :class:`InverseConv`,
+    so checkpoints are interchangeable)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x, s, t, parent, child_offset, down_nbr):
+        w = self.param("kernel", _conv_init(8, x.shape[-1]), (8, x.shape[-1], self.features))
+        return sparse_conv.inverse_conv_bnrelu(
+            x, s, t, parent, child_offset, down_nbr, w.astype(x.dtype)
+        )
 
 
 def _axis_zero_rows(axis: int):
@@ -229,11 +244,13 @@ class UBlock(nn.Module):
                 self.nPlanes[1:], self.block_reps, self.depth + 1, self.remat,
                 self.block, name="u"
             )(h, plan, train, refreshes)
-            # up: BN→ReLU→SparseInverseConv3d sharing the down table
-            h = MaskedBatchNorm(self.nPlanes[1], name="up_bn")(h, nxt_mask, train)
-            h = nn.relu(h)
-            h = rf(InverseConv(planes, name="up_conv")(
-                h, lp.parent, lp.child_offset, lp.down_nbr
+            # up: BN→ReLU→SparseInverseConv3d sharing the down table, the
+            # affine + ReLU folded into the conv's custom VJP
+            su, tu = MaskedBatchNorm(self.nPlanes[1], name="up_bn")(
+                h, nxt_mask, train, return_affine=True
+            )
+            h = rf(FusedInverseConv(planes, name="up_conv")(
+                h, su, tu, lp.parent, lp.child_offset, lp.down_nbr
             ))
             x = jnp.concatenate([identity, h], axis=-1)
             for i in range(self.block_reps):

@@ -532,6 +532,76 @@ def _inv_pallas_bwd(res, g):
 _inverse_conv_pallas.defvjp(_inv_pallas_fwd, _inv_pallas_bwd)
 
 
+def _affine_pre(feats, s, t):
+    """f32 pre-activation ``x*s + t`` — the shared rounding invariant: the
+    ReLU mask in forward and backward must come from the SAME f32 affine
+    (a bf16 affine flips the mask near zero, see NEXT.md)."""
+    return (
+        feats.astype(jnp.float32) * s.astype(jnp.float32)[None, :]
+        + t.astype(jnp.float32)[None, :]
+    )
+
+
+@jax.custom_vjp
+def _inverse_conv_bnrelu(feats, s, t, parent, child_offset, down_nbr, weights):
+    # forward keeps the cheap single-gather formulation over the (small)
+    # coarse side; the fusion win is the backward: ReLU mask + affine grads
+    # folded into the Pallas down-table gathers, no h residual saved
+    h = jnp.maximum(_affine_pre(feats, s, t), 0.0).astype(feats.dtype)
+    return inverse_conv_raw(h, parent, child_offset, weights)
+
+
+def _inv_bnrelu_fwd(feats, s, t, parent, child_offset, down_nbr, weights):
+    out = _inverse_conv_bnrelu(feats, s, t, parent, child_offset, down_nbr, weights)
+    return out, (feats, s, t, parent, child_offset, down_nbr, weights)
+
+
+def _inv_bnrelu_bwd(res, g):
+    from .pallas_spconv2 import subm_conv_fwd, table_weight_grad
+
+    feats, s, t, parent, child_offset, down_nbr, w = res
+    g = g.astype(feats.dtype)
+    # dh at coarse rows: the transpose of the inverse conv is the down conv
+    # (pad coarse rows only see miss entries ⇒ dh = 0 there, so the affine
+    # grads below take no pollution from padding)
+    dh = subm_conv_fwd(
+        g, down_nbr, w.transpose(0, 2, 1), tile=_PALLAS_TILE,
+        window=_PALLAS_WINDOW_DOWN,
+    )
+    pre = _affine_pre(feats, s, t)
+    dpre = jnp.where(pre > 0, dh.astype(jnp.float32), 0.0)
+    sf = s.astype(jnp.float32)[None, :]
+    dx = (dpre * sf).astype(feats.dtype)
+    ds = jnp.sum(dpre * feats.astype(jnp.float32), axis=0).astype(s.dtype)
+    dt = jnp.sum(dpre, axis=0).astype(t.dtype)
+    # dW[k] = h^T @ gather(g, down_nbr[k]) — recompute h once (same rounding
+    # as the forward's f32 affine)
+    h = jnp.maximum(pre, 0.0).astype(feats.dtype)
+    dw = table_weight_grad(
+        g, h, down_nbr, tile=_PALLAS_TILE, window=_PALLAS_WINDOW_DOWN
+    )
+    return dx, ds, dt, None, None, None, dw.astype(w.dtype)
+
+
+_inverse_conv_bnrelu.defvjp(_inv_bnrelu_fwd, _inv_bnrelu_bwd)
+
+
+def inverse_conv_bnrelu(feats, s, t, parent, child_offset, down_nbr, weights):
+    """``inverse_conv(relu(feats * s + t), ...)`` with the pre-activation BN
+    affine + ReLU folded into the conv's custom VJP on TPU (the reference's
+    up path is BN→ReLU→SparseInverseConv3d,
+    ``modules/model/sparse_unet3d.py:269-274``); unfused fallback elsewhere."""
+    if _FUSE_BN and _pallas_ok(
+        (weights.shape[2],), down_nbr.shape[1], parent.shape[0],
+        window=_PALLAS_WINDOW_DOWN,
+    ):
+        return _inverse_conv_bnrelu(
+            feats, s, t, parent, child_offset, down_nbr, weights
+        )
+    h = jnp.maximum(_affine_pre(feats, s, t), 0.0).astype(feats.dtype)
+    return inverse_conv(h, parent, child_offset, down_nbr, weights)
+
+
 def inverse_conv(feats, parent, child_offset, down_nbr, weights):
     """k=2 inverse conv coarse→fine; Pallas-backward path on TPU (its
     gathers read the fine grad with Cout channels)."""
