@@ -229,7 +229,14 @@ def build_spatial_batch(
     n_sp_cap = len(np.asarray(batch_arrays["sp_valid"]))
     stacked = {}
     for name in SceneBatch._fields:
-        a = np.asarray(batch_arrays[name])
+        # optional host-plan fields (hp_level_keys/hp_parents) are absent from
+        # eval collates and meaningless per-slab — the sharded forward builds
+        # its tables from the halo level sets (build_unet_plan_from_levels)
+        raw = batch_arrays.get(name)
+        if raw is None or isinstance(raw, tuple):
+            stacked[name] = None
+            continue
+        a = np.asarray(raw)
         if name in point_fields:
             out = np.zeros((D, np_cap) + a.shape[1:], a.dtype)
             if name == "point_sp":
