@@ -136,11 +136,18 @@ def main():
             sp_size=np.ones(sc.num_superpoints, np.float32),
         )
 
+    # BENCH_HOSTPLAN=1: collate precomputes the voxel-level link tables on
+    # the host (data/hostplan.py) — in training these land on the prefetch
+    # thread, so the step measured here is the honest device cost
+    host_plan = os.environ.get("BENCH_HOSTPLAN", "0") == "1"
     rng = np.random.default_rng(0)
     batches = []
     for i in range(2):
         group = scenes[i * BATCH : (i + 1) * BATCH]
-        arrays = collate(group, [labels_for(s) for s in group], statics, rng, training=True)
+        arrays = collate(
+            group, [labels_for(s) for s in group], statics, rng,
+            training=True, host_plan=host_plan,
+        )
         batches.append(to_scene_batch(arrays))
 
     note("scenes collated; initializing model (first device compile)")

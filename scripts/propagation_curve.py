@@ -80,7 +80,10 @@ def main():
 
     store = WeakLabelStore({s.name: s for s in train_scenes}, classes=20)
     store.acquire(np.random.default_rng(123), annotation_num=1)
-    ds = SceneDataset(train_scenes, statics, weak_store=store)
+    ds = SceneDataset(
+        train_scenes, statics, weak_store=store,
+        host_plan=os.environ.get("PROP_HOSTPLAN", "0") == "1",
+    )
     val_ds = SceneDataset(val_scenes, eval_statics)
 
     curve = [{"event": "acquire", **store.label_stats()}]
