@@ -68,7 +68,7 @@ def make_room_scene(
     ~2k/m2 (~2.2 cm spacing -> mostly-unique 2 cm voxels), ~15-25 instances,
     and instance-pure superpoints of ~50-60 points (the reference's
     Felzenszwalb segments average ~50 points; measured proxy-vs-reference
-    statistics table in NEXT.md).
+    statistics table in docs/PROXY_STATS.md, from scripts/proxy_stats.py).
     """
     rng = np.random.default_rng(seed)
     w = rng.uniform(*room_range)
