@@ -121,6 +121,7 @@ def test_two_process_step_matches_single_device(tmp_path):
     concat = {
         f: np.concatenate([locals_[0][f], locals_[1][f]], axis=0)
         for f in SceneBatch._fields
+        if not f.startswith("hp_")  # host-local plan tables never globalize
     }
     gstatics = scale_statics(statics, 2)
     ref_loss, ref_cs = run_step_single(
@@ -152,3 +153,58 @@ def test_two_process_step_matches_single_device(tmp_path):
 
     assert np.isclose(got["loss"], ref_loss, rtol=1e-3), (got, ref_loss)
     assert np.isclose(got["checksum"], ref_cs, rtol=1e-3), (got, ref_cs)
+
+
+def test_global_batch_accepts_host_plan_collate():
+    """Regression for the r3 multi-host break: a host_plan=True collate (which
+    emits tuple-valued hp_* fields) must flow through global_batch — hp_*
+    dropped to None (device rebuilds the plan), everything else globalized."""
+    import jax
+    from jax.sharding import Mesh
+
+    from tpu3dwsis.data.collate import collate
+    from tpu3dwsis.dist.launch import global_batch
+
+    scenes, statics, model, loss_cfg, flags = build_fixture()
+    arrays = collate(
+        scenes[:2],
+        [_labels_for(s) for s in scenes[:2]],
+        statics,
+        np.random.default_rng(0),
+        training=True,
+        host_plan=True,
+    )
+    assert isinstance(arrays["hp_level_keys"], tuple)
+    mesh = Mesh(np.array(jax.devices()[:1]), ("data",))
+    batch = global_batch(
+        {k: v for k, v in arrays.items() if not k.startswith("_")},
+        mesh,
+        statics,
+        process_index=0,
+    )
+    assert batch.hp_level_keys is None and batch.hp_parents is None
+    assert batch.point_coords.shape[0] == statics.max_points
+
+
+def test_global_batch_missing_required_field_raises():
+    """Non-hp_* fields must hard-KeyError when absent (ADVICE r3)."""
+    import jax
+    import pytest
+    from jax.sharding import Mesh
+
+    from tpu3dwsis.data.collate import collate
+    from tpu3dwsis.dist.launch import global_batch
+
+    scenes, statics, model, loss_cfg, flags = build_fixture()
+    arrays = collate(
+        scenes[:2],
+        [_labels_for(s) for s in scenes[:2]],
+        statics,
+        np.random.default_rng(0),
+        training=False,
+    )
+    arrays = {k: v for k, v in arrays.items() if not k.startswith("_")}
+    del arrays["edge_feats"]
+    mesh = Mesh(np.array(jax.devices()[:1]), ("data",))
+    with pytest.raises(KeyError):
+        global_batch(arrays, mesh, statics, process_index=0)
