@@ -97,7 +97,7 @@ def test_resume_fast_forward(tmp_path):
     tb = Trainer(model2, statics2, ds2, cfg2)
     tb.init_state()
     ckpt = os.path.join(cfg.log_dir, "epoch_00001_round0")
-    assert os.path.isdir(ckpt)
+    assert os.path.isfile(ckpt + ".npz")  # fast single-file format
     tb.state, meta = load_checkpoint(ckpt, tb.state, ds2.weak_store)
     assert meta["stage"] == "round0" and int(meta["epoch"]) == 1
     tb.apply_resume_meta(meta)
