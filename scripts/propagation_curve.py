@@ -89,6 +89,17 @@ def main():
     curve = [{"event": "acquire", **store.label_stats()}]
     print(f"# acquire: {curve[-1]}", flush=True)
 
+    # PROP_RESUME_CURVE=<json>: when resuming the SAME training run from a
+    # stage checkpoint, carry over the events already recorded by the
+    # interrupted run so the final artifact holds the full curve.
+    prior = os.environ.get("PROP_RESUME_CURVE", "")
+    if prior and os.path.exists(prior):
+        with open(prior) as f:
+            prev = json.load(f).get("curve", [])
+        if prev and prev[0].get("event") == "acquire":
+            curve = list(prev)
+            print(f"# carried {len(curve)} curve events from {prior}", flush=True)
+
     def flush_partial():
         with open(OUT, "w") as f:
             json.dump({"status": "in_progress", "curve": curve,
@@ -170,6 +181,7 @@ def main():
         model, trainer.state.params, trainer.state.batch_stats, val_ds
     )
     result = {
+        "status": "complete",
         "workload": {
             "train_scenes": N_TRAIN,
             "val_scenes": N_VAL,
