@@ -38,8 +38,6 @@ def level_voxels(xyz, num_levels=5):
     v -= v.min(axis=0)
     counts = []
     for _ in range(num_levels):
-        span = v.max(axis=0) + 1
-        keys = (v[:, 0] * span[1] + v[:, 1]) * span[2] + v[:, 2]
         v = np.unique(v, axis=0)
         counts.append(len(v))
         v = v // 2

@@ -163,11 +163,13 @@ def _weight_grad(feats, nbr, g, accum_dtype=jnp.float32):
 # inverse conv's (parent, child_offset) gather and vice versa.  Scatter-adds
 # measured ~8x slower than gathers on TPU, so this buys most of the backward.
 #
-# Dispatch: on TPU, 3³ subm convs with 128 % C == 0 use the Pallas windowed-
-# DMA kernel (ops/pallas_spconv2.py) — XLA's row gather runs at ~12-15 ns/row
-# here regardless of formulation, which made the 27-offset gather chain the
-# whole step's bottleneck at real-scan scale.  Everything else (input conv
-# C=6, the 96/160-channel levels, CPU tests) takes the XLA path below.
+# Dispatch: on TPU, eligible convs use the Pallas windowed-DMA kernel
+# (ops/pallas_spconv2.py) — XLA's row gather runs at ~12-15 ns/row here
+# regardless of formulation, which made the 27-offset gather chain the whole
+# step's bottleneck at real-scan scale.  C=96 packs unaligned lanes and runs
+# Pallas; C=160 is excluded by default (_XLA_WIDTHS below — A/B-measured
+# slightly faster on XLA at the tiny L4 tables); the input conv C=6 and CPU
+# tests take the XLA path below.
 
 import os as _os
 
