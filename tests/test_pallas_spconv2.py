@@ -307,6 +307,114 @@ def test_fused_bnrelu_bwd_matches_autodiff():
     np.testing.assert_allclose(np.asarray(dt), np.asarray(dt_ref), rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("c", [32, 96])
+def test_bwd_v4_matches_autodiff(c, monkeypatch):
+    """v4 lane-concat backward (one dot per offset) vs autodiff — packed
+    (c=32, p=4) and unpacked (c=96, p=1) widths."""
+    import tpu3dwsis.ops.pallas_spconv2 as ps2
+
+    monkeypatch.setattr(ps2, "_BWD_V4", True)
+    rng = np.random.default_rng(12)
+    m = 1024
+    nbr = real_table(m, rng, shape=(32, 32, 32))
+    feats = jnp.asarray(rng.standard_normal((m, c)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((27, c, c)).astype(np.float32) * 0.1)
+    g = jnp.asarray(rng.standard_normal((m, c)).astype(np.float32))
+
+    def loss(feats, w):
+        return jnp.sum(gather_conv(feats, nbr, w) * g)
+
+    dx_ref, dw_ref = jax.grad(loss, argnums=(0, 1))(feats, w)
+    dx, dw = subm_conv_bwd(feats, g, nbr, w, tile=128, window=512, interpret=True)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_ref), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dw), np.asarray(dw_ref), rtol=2e-4, atol=2e-4)
+
+
+def test_bwd_v4_rect_fused_affine(monkeypatch):
+    """v4 backward with Cin != Cout AND the fused BN+ReLU epilogue
+    (dx, dW, ds, dt all must match autodiff)."""
+    import tpu3dwsis.ops.pallas_spconv2 as ps2
+
+    monkeypatch.setattr(ps2, "_BWD_V4", True)
+    rng = np.random.default_rng(13)
+    m, cin, cout = 1024, 64, 32
+    nbr = real_table(m, rng, shape=(32, 32, 32))
+    feats = jnp.asarray(rng.standard_normal((m, cin)).astype(np.float32))
+    s = jnp.asarray(rng.standard_normal(cin).astype(np.float32) * 0.5 + 1.0)
+    t = jnp.asarray(rng.standard_normal(cin).astype(np.float32) * 0.2)
+    w = jnp.asarray(rng.standard_normal((27, cin, cout)).astype(np.float32) * 0.2)
+    g = jnp.asarray(rng.standard_normal((m, cout)).astype(np.float32))
+
+    def loss(feats, s, t, w):
+        h = jax.nn.relu(feats * s[None] + t[None])
+        return jnp.sum(gather_conv(h, nbr, w) * g)
+
+    dx_ref, ds_ref, dt_ref, dw_ref = jax.grad(loss, argnums=(0, 1, 2, 3))(feats, s, t, w)
+    dx, dw, ds, dt = subm_conv_bwd(feats, g, nbr, w, tile=128, window=512,
+                                   interpret=True, affine=(s, t))
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_ref), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dw), np.asarray(dw_ref), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(ds), np.asarray(ds_ref), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dt), np.asarray(dt_ref), rtol=2e-4, atol=2e-4)
+
+
+def test_bwd_v4_far_rows(monkeypatch):
+    """v4 backward with a window small enough to force the far path."""
+    import tpu3dwsis.ops.pallas_spconv2 as ps2
+
+    monkeypatch.setattr(ps2, "_BWD_V4", True)
+    rng = np.random.default_rng(14)
+    m, c = 1024, 32
+    nbr = real_table(m, rng, shape=(32, 32, 32))
+    feats = jnp.asarray(rng.standard_normal((m, c)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((27, c, c)).astype(np.float32) * 0.1)
+    g = jnp.asarray(rng.standard_normal((m, c)).astype(np.float32))
+
+    def loss(feats, w):
+        return jnp.sum(gather_conv(feats, nbr, w) * g)
+
+    dx_ref, dw_ref = jax.grad(loss, argnums=(0, 1))(feats, w)
+    dx, dw = subm_conv_bwd(feats, g, nbr, w, tile=128, window=256, interpret=True)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_ref), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dw), np.asarray(dw_ref), rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("c", [96, 192])
+def test_fwd_v3p1_matches_oracle(c, monkeypatch):
+    """v3 forward extended to unpacked widths (p=1): the per-group
+    ``win @ wcat`` fold must match the oracle, including misses and far
+    rows, at the L2 (96) and tail-concat (192) widths."""
+    import tpu3dwsis.ops.pallas_spconv2 as ps2
+
+    monkeypatch.setattr(ps2, "_FWD_V3P1", True)
+    rng = np.random.default_rng(15)
+    m, k = 2048, 27
+    nbr = make_tables(m, k, rng, plane=700)
+    feats = jnp.asarray(rng.standard_normal((m, c)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((k, c, c)).astype(np.float32) * 0.1)
+    ref = gather_conv(feats, nbr, w)
+    out = subm_conv_fwd(feats, nbr, w, tile=128, window=512, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_fwd_v3p1_fused_affine(monkeypatch):
+    """v3-p1 forward with the fused pre-activation BN+ReLU."""
+    import tpu3dwsis.ops.pallas_spconv2 as ps2
+
+    monkeypatch.setattr(ps2, "_FWD_V3P1", True)
+    rng = np.random.default_rng(16)
+    m, k, c = 2048, 27, 96
+    nbr = make_tables(m, k, rng, plane=700)
+    feats = jnp.asarray(rng.standard_normal((m, c)).astype(np.float32))
+    s = jnp.asarray(rng.standard_normal(c).astype(np.float32) * 0.5 + 1.0)
+    t = jnp.asarray(rng.standard_normal(c).astype(np.float32) * 0.2)
+    w = jnp.asarray(rng.standard_normal((k, c, c)).astype(np.float32) * 0.1)
+    ref = gather_conv(jax.nn.relu(feats * s[None] + t[None]), nbr, w)
+    out = subm_conv_fwd(feats, nbr, w, tile=128, window=512, interpret=True,
+                        affine=(s, t))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
 def test_fused_bnrelu_bwd_far_rows():
     """Fused backward with a window small enough to force far-row folding."""
     rng = np.random.default_rng(11)

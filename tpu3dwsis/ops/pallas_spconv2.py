@@ -50,6 +50,19 @@ __all__ = [
 # gate until measured on hardware; applies only to packed widths (C<=64).
 _FWD_V3 = os.environ.get("TPU3DWSIS_CONV_V3", "1") != "0"
 
+# v3 forward extended to unpacked widths (p=1: C in {96, 128, 192, 256}).
+# Same fold, no sub-row select needed; the per-group ``win @ wcat``
+# precompute streams window-rows through the MXU, so it only pays when the
+# window is short relative to the dots it removes (subm tables, window 512)
+# — gated by ``window <= gs * tile`` at the call site.  A/B gate.
+_FWD_V3P1 = os.environ.get("TPU3DWSIS_CONV_V3P1", "0") != "0"
+
+# v4 backward (lane-concat single-dot per offset, see _bwd_kernel_v4): the
+# kernel is matmul-issue bound, so producing the dW gather AND the folded dx
+# candidates from ONE onehot dot against [window | window @ wcat] removes one
+# of the two tile-height dots per offset.  A/B gate until measured.
+_BWD_V4 = os.environ.get("TPU3DWSIS_CONV_BWD_V4", "0") != "0"
+
 # Skip tiles past the last live table row.  Batch buckets pad every level's
 # voxel tables to fit_statics capacity (~66% occupancy at bench batch 6), and
 # collate packs scenes contiguously so padding is one sorted TAIL — those
@@ -193,42 +206,44 @@ def _fwd_kernel(c, gs, fuse, nrows_ref, lo_ref, pos_ref, ok_ref, xp_hbm, w_ref, 
     out_ref[:] = acc_ref[:].astype(out_ref.dtype)
 
 
-def _fold_weights(weights: jax.Array, p: int, gs: int, dtype) -> jax.Array:
+def _fold_weights(weights: jax.Array, p: int, gs: int, dtype, rows=None) -> jax.Array:
     """Per-group lane-concat of block-diagonal weights for the v3 forward.
 
-    ``weights [K, C, D]`` → ``[G, p*C, gs*seg]`` where each offset's
+    ``weights [K, C, D]`` → ``[G, rows, gs*seg]`` where each offset's
     ``[p*C, p*D]`` block-diagonal expansion (p copies of W on the diagonal,
     matching the window's p-row lane packing) occupies its own
     ``seg = roundup(p*D, 128)``-lane segment.  One ``window @ fold`` matmul
     then weights ALL of a group's packed candidate rows at once, replacing
     the per-offset ``[T, C] @ [C, D]`` weight matmuls — the kernel is
-    matmul-issue bound, so fewer/earlier matmuls win even at equal FLOPs."""
+    matmul-issue bound, so fewer/earlier matmuls win even at equal FLOPs.
+    ``rows`` (default ``p*C``) zero-pads the row dim to the window's padded
+    lane count for the unpacked p=1 widths."""
     k, c, d = weights.shape
     ng = k // gs
     eye = jnp.eye(p, dtype=weights.dtype)
     wbd = jnp.einsum("ab,kcd->kacbd", eye, weights).reshape(k, p * c, p * d)
     seg = -(-(p * d) // 128) * 128
-    if seg != p * d:
-        wbd = jnp.concatenate(
-            [wbd, jnp.zeros((k, p * c, seg - p * d), wbd.dtype)], axis=2
-        )
-    wcat = wbd.reshape(ng, gs, p * c, seg).transpose(0, 2, 1, 3).reshape(ng, p * c, gs * seg)
+    rows = p * c if rows is None else rows
+    wbd = jnp.pad(wbd, ((0, 0), (0, rows - p * c), (0, seg - p * d)))
+    wcat = wbd.reshape(ng, gs, rows, seg).transpose(0, 2, 1, 3).reshape(ng, rows, gs * seg)
     return wcat.astype(dtype)
 
 
 def _fwd_kernel_v3(c, d, gs, fuse, nrows_ref, lo_ref, pos_ref, ok_ref, xp_hbm, wcat_ref, st_ref, out_ref,
                    acc_ref, win_ref, sem):
     """v3 forward: the per-offset weight matmul is folded into ONE per-group
-    precompute ``WV = window @ wcat`` ([wp, 128] @ [128, gs*seg]), so each
+    precompute ``WV = window @ wcat`` ([wp, lanes] @ [lanes, gs*seg]), so each
     offset costs a single one-hot gather matmul against its WV segment.
-    Requires p > 1 (p*C == 128, the packed lane width).  Per tile per group:
-    1 + gs matmuls instead of 2*gs, and the precompute's output height is
-    ``wp`` (window rows) < T, cutting MXU-issue cycles ~25% at L0/L1."""
+    Packed widths (p*C == 128) select the candidate sub-row per output row
+    with a lane mask; unpacked widths (p=1, C in {96, 128, 192, 256}) skip
+    straight to the segment slice.  Per tile per group: 1 + gs matmuls
+    instead of 2*gs, and the precompute's output height is ``wp`` (window
+    rows), cutting MXU-issue cycles ~25% at L0/L1 (measured)."""
     t = pl.program_id(0)
     k_total = pos_ref.shape[0]
     tile = pos_ref.shape[1]
     wp = win_ref.shape[1]
-    p = 128 // c
+    p = max(1, 128 // c)
     seg = wcat_ref.shape[2] // gs
     n_groups = k_total // gs
 
@@ -302,7 +317,7 @@ def _pack_affine(s, t, p: int, c: int, dtype):
 def _fwd_call_v3(feats, pos, ok, wcat, d, lo, nrows, st, tile, window, gs, fuse, interpret):
     k, m = pos.shape
     c = feats.shape[1]
-    p = 128 // c
+    p = max(1, 128 // c)
     nt = m // tile
     ng = k // gs
     xp, mp = _pack(feats, p)
@@ -320,7 +335,7 @@ def _fwd_call_v3(feats, pos, ok, wcat, d, lo, nrows, st, tile, window, gs, fuse,
         out_specs=pl.BlockSpec((tile, d), lambda t, nr, lo_ref: (t, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((tile, d), jnp.float32),
-            pltpu.VMEM((ng, window // p, 128), feats.dtype),
+            pltpu.VMEM((ng, window // p, -(-(p * c) // 128) * 128), feats.dtype),
             pltpu.SemaphoreType.DMA((ng,)),
         ],
     )
@@ -483,8 +498,13 @@ def subm_conv_fwd(
         st = _pack_affine(affine[0], affine[1], p, c, jnp.float32)
     else:
         st = jnp.zeros((2, -(-(p * c) // 128) * 128), jnp.float32)
-    if _FWD_V3 and p > 1 and p * c == 128:
-        wcat = _fold_weights(weights, p, gs, feats.dtype)
+    use_v3 = _FWD_V3 and p > 1 and p * c == 128
+    # p=1 fold only pays when the per-group precompute (window rows through
+    # the MXU) is shorter than the gs per-offset dots it removes
+    use_v3p1 = _FWD_V3 and _FWD_V3P1 and p == 1 and window <= gs * tile
+    if use_v3 or use_v3p1:
+        rows = -(-(p * c) // 128) * 128
+        wcat = _fold_weights(weights, p, gs, feats.dtype, rows=rows)
         out = _fwd_call_v3(feats, pos, ok & ~far, wcat, weights.shape[2], lo,
                            nrows, st, tile, window, gs, fuse, interpret)
     else:
@@ -628,6 +648,164 @@ def _bwd_call(x, g, pos, ok, w_flipT, lo, nrows, st, tile, window, gs, fuse, int
         ],
         interpret=interpret,
     )(nrows, lo, pos, ok.astype(jnp.int32), gp, w_flipT, x, st)
+
+
+def _fold_weights_bwd(w_flipT: jax.Array, p: int, gs: int, rows: int, dtype) -> jax.Array:
+    """``w_flipT [K, D, C]`` (pre-flipped/transposed) → ``[G, rows, gs*seg]``
+    for the v4 backward: offset k's block-diagonal expansion ``[p*D, p*C]``
+    (p copies along the diagonal, matching the grad window's p-row lane
+    packing) in its own ``seg = roundup(p*C, 128)`` lane segment, rows
+    zero-padded to the window's padded lane count."""
+    k, d, c = w_flipT.shape
+    ng = k // gs
+    eye = jnp.eye(p, dtype=w_flipT.dtype)
+    wbd = jnp.einsum("ab,kdc->kadbc", eye, w_flipT).reshape(k, p * d, p * c)
+    seg = -(-(p * c) // 128) * 128
+    wbd = jnp.pad(wbd, ((0, 0), (0, rows - p * d), (0, seg - p * c)))
+    wcat = wbd.reshape(ng, gs, rows, seg).transpose(0, 2, 1, 3).reshape(ng, rows, gs * seg)
+    return wcat.astype(dtype)
+
+
+def _bwd_kernel_v4(c, d, gs, fuse, nrows_ref, lo_ref, pos_ref, ok_ref, gp_hbm,
+                   wcat_ref, x_ref, st_ref, dx_ref, dw_ref, dst_ref,
+                   acc_ref, win_ref, cat_ref, sem):
+    """v4 backward: per group, build ``cat = [window | window @ wcat]`` once
+    (one VMEM copy + one wp-row dot), then each offset's single one-hot dot
+    against ``cat`` yields BOTH the gathered grad (lanes [:L], unpacked for
+    dW) and the weight-folded dx candidates (its wcat segment) — one
+    tile-height dot per offset instead of two (the kernel is matmul-issue
+    bound, so the extra output lanes are near-free).  dW and the fused
+    affine/ReLU epilogue are unchanged from :func:`_bwd_kernel`."""
+    t = pl.program_id(0)
+    k_total = pos_ref.shape[0]
+    tile = pos_ref.shape[1]
+    wp = win_ref.shape[1]
+    L = win_ref.shape[2]  # padded grad lanes (roundup(p*d, 128))
+    p = max(1, 128 // d)
+    seg = wcat_ref.shape[2] // gs
+    n_groups = k_total // gs
+
+    @pl.when(t == 0)
+    def _():
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+        dst_ref[:] = jnp.zeros_like(dst_ref)
+
+    def dma(g):
+        lo = lo_ref[g, t]
+        lo_p = pl.multiple_of(lo // p, 16)
+        return pltpu.make_async_copy(
+            gp_hbm.at[pl.ds(lo_p, wp), :], win_ref.at[g], sem.at[g]
+        )
+
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(t * tile < nrows_ref[0])  # skip padding-tail tiles (see _fwd_kernel)
+    def _compute():
+        copies = [dma(g) for g in range(n_groups)]
+        for cp in copies:
+            cp.start()
+        if fuse:
+            # f32 affine recompute — mask must match the fused forward's
+            pre = x_ref[:].astype(jnp.float32) * st_ref[0:1, :] + st_ref[1:2, :]
+            xf = jnp.maximum(pre, 0)  # h, feeds dW
+            maskf = (pre > 0).astype(jnp.float32)
+        else:
+            xf = x_ref[:].astype(jnp.float32)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (tile, wp), 1)
+        lane_j = jax.lax.broadcasted_iota(jnp.int32, (tile, p * c), 1) // c
+
+        for g in range(n_groups):  # static unroll (see _fwd_kernel)
+            copies[g].wait()
+            win_g = win_ref[g]
+            cat_ref[:, :L] = win_g
+            wv = jax.lax.dot_general(
+                win_g, wcat_ref[g], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [wp, gs*seg]
+            cat_ref[:, L:] = wv.astype(cat_ref.dtype)
+            for k in range(g * gs, (g + 1) * gs):
+                local = pos_ref[k, :] - lo_ref[g, t]
+                ok = (ok_ref[k, :] > 0) & (local >= 0) & (local < wp * p)
+                sel_packed = jnp.where(ok, local // p, -1)
+                onehot = iota == jnp.broadcast_to(sel_packed.reshape(tile, 1), (tile, wp))
+                big = jax.lax.dot_general(
+                    onehot.astype(cat_ref.dtype),
+                    cat_ref[:],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [T, L + gs*seg]: gathered grad | folded dx candidates
+                sub = jnp.where(ok, local % p, -1)
+                gk = jnp.zeros((tile, d), jnp.float32)
+                for j in range(p):
+                    pick = (sub == j).astype(jnp.float32)
+                    gk = gk + jnp.broadcast_to(pick.reshape(tile, 1), (tile, d)) * big[:, j * d : (j + 1) * d]
+                # dW[k] += h_tile^T @ gk : [C, D]
+                dw_ref[k] += jax.lax.dot_general(
+                    xf, gk, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+                )
+                kl = k - g * gs
+                y = big[:, L + kl * seg : L + kl * seg + p * c]
+                mask = (lane_j == jnp.broadcast_to(sub.reshape(tile, 1), (tile, p * c))).astype(jnp.float32)
+                y4 = y * mask
+                contrib = y4[:, 0:c]
+                for j in range(1, p):
+                    contrib = contrib + y4[:, j * c : (j + 1) * c]
+                acc_ref[:] += contrib  # dh (grad w.r.t. the conv input h)
+
+        if fuse:
+            dh_m = acc_ref[:] * maskf  # dh·1[pre>0]
+            dst_ref[0, :] += jnp.sum(dh_m * x_ref[:].astype(jnp.float32), axis=0)
+            dst_ref[1, :] += jnp.sum(dh_m, axis=0)
+            acc_ref[:] = dh_m * st_ref[0:1, :].astype(jnp.float32)  # dx
+
+    dx_ref[:] = acc_ref[:].astype(dx_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "window", "gs", "fuse", "interpret"))
+def _bwd_call_v4(x, g, pos, ok, wcat, lo, nrows, st, tile, window, gs, fuse, interpret):
+    k, m = pos.shape
+    c = x.shape[1]
+    d = g.shape[1]
+    p = max(1, 128 // d)
+    nt = m // tile
+    ng = k // gs
+    gp, mp = _pack(g, p)
+    L = -(-(p * d) // 128) * 128
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((k, tile), lambda t, nr, lo_ref: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, tile), lambda t, nr, lo_ref: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),  # packed grad in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # folded flipped-T weights
+            pl.BlockSpec((tile, c), lambda t, nr, lo_ref: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # [2, C] affine
+        ],
+        out_specs=[
+            pl.BlockSpec((tile, c), lambda t, nr, lo_ref: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, c, d), lambda t, nr, lo_ref: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, c), lambda t, nr, lo_ref: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tile, c), jnp.float32),
+            pltpu.VMEM((ng, window // p, L), g.dtype),
+            pltpu.VMEM((window // p, L + wcat.shape[2]), g.dtype),
+            pltpu.SemaphoreType.DMA((ng,)),
+        ],
+    )
+    kernel = functools.partial(_bwd_kernel_v4, c, d, gs, fuse)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((m, c), x.dtype),
+            jax.ShapeDtypeStruct((k, c, d), jnp.float32),
+            jax.ShapeDtypeStruct((2, c), jnp.float32),
+        ],
+        interpret=interpret,
+    )(nrows, lo, pos, ok.astype(jnp.int32), gp, wcat, x, st)
 
 
 def _dw_kernel(gs, nrows_ref, lo_ref, pos_ref, ok_ref, src_hbm, x_ref, dw_ref, win_ref, sem):
@@ -787,8 +965,15 @@ def subm_conv_bwd(
         st = jnp.stack([affine[0], affine[1]]).astype(jnp.float32)  # [2, C]
     else:
         st = jnp.zeros((2, feats.shape[1]), jnp.float32)
-    dx, dw_flip, dst = _bwd_call(feats, g, pos, ok & ~far, w_flipT, lo, _active_rows(ok),
-                                 st, tile, window, gs, fuse, interpret)
+    if _BWD_V4:
+        L = -(-(p * d) // 128) * 128
+        wcat = _fold_weights_bwd(w_flipT, p, gs, L, g.dtype)
+        dx, dw_flip, dst = _bwd_call_v4(feats, g, pos, ok & ~far, wcat, lo,
+                                        _active_rows(ok), st, tile, window, gs,
+                                        fuse, interpret)
+    else:
+        dx, dw_flip, dst = _bwd_call(feats, g, pos, ok & ~far, w_flipT, lo, _active_rows(ok),
+                                     st, tile, window, gs, fuse, interpret)
 
     # far corrections (rare rows): dx via gather+matmul, dW via outer products
     cap = max(4096, m // 32)
