@@ -30,6 +30,20 @@ sys.path.insert(0, REPO)
 # (SPATIAL_PLATFORM=cpu for the virtual-device run — also guards against
 # accidentally attaching a second job to the TPU).
 if os.environ.get("SPATIAL_PLATFORM"):
+    if os.environ["SPATIAL_PLATFORM"] == "cpu":
+        # One physical core executes the 8 virtual devices' programs nearly
+        # serially, so the skew between the first and last shard reaching a
+        # collective far exceeds XLA:CPU's default rendezvous timeouts
+        # (20 s warn / 40 s terminate — the r4 2.14M-pt run died with
+        # "Termination timeout ... only 1 of them arrived", .spatial_cpu8_r4.log).
+        # Flags must be in XLA_FLAGS before the first backend use.
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "--xla_force_host_platform_device_count" not in flags:
+            flags += (" --xla_force_host_platform_device_count="
+                      + os.environ.get("SPATIAL_CPU_DEVICES", "8"))
+        flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
+                  " --xla_cpu_collective_call_terminate_timeout_seconds=7200")
+        os.environ["XLA_FLAGS"] = flags
     import jax as _jax
 
     _jax.config.update("jax_platforms", os.environ["SPATIAL_PLATFORM"])
