@@ -1,0 +1,8 @@
+#!/bin/bash
+# Round-4 backward attribution (VERDICT r3 #4): account the ~1.85 s backward
+# to components.  train/fwd_eval share compile-cache entries with bench.py;
+# grad/fwd_train/unet/unet_grad/ecc_grad/losses/opt compile fresh (remote
+# service, minutes each).  One TPU job at a time (tpu_snap_run.sh enforces).
+cd /root/repo
+ABL_WHAT=train,grad,opt,fwd_train,fwd_eval,unet,unet_grad,ecc_grad,points,losses \
+  exec bash scripts/tpu_snap_run.sh python scripts/ablate_step.py

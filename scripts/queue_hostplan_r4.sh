@@ -1,0 +1,8 @@
+#!/bin/bash
+# Round-4 hostplan A/B (VERDICT r3 #7): measure BENCH_HOSTPLAN=1 vs the
+# r4 warm default (1.623 scenes/s, .bench_r4_warm.log).  If it wins, flip
+# the default (then RE-WARM the plain bench before round end); if it loses,
+# delete the flag + dead fields.
+cd /root/repo
+BENCH_HOSTPLAN=1 \
+  exec bash scripts/tpu_snap_run.sh python bench.py
