@@ -1,0 +1,30 @@
+#!/bin/bash
+# Round-4 post-propagation TPU pipeline, strictly sequential (one job holds
+# the chip at a time; tpu_snap_run.sh's pidfile guard would refuse overlap
+# anyway).  Launch AFTER the propagation job exits.  Logs land next to the
+# repo root like every other TPU job log.
+set -u
+cd /root/repo
+echo $$ > /tmp/chain_r4.pid
+# To stop the pipeline, remove a stage's marker below or `kill $(cat
+# /tmp/chain_r4.pid)` BETWEEN stages (never kill a TPU job mid-compile).
+# Stages can be skipped ad hoc: SKIP="hostplan spatialtpu" bash ...
+SKIP=${SKIP:-}
+
+run() {
+  name=$1; shift
+  case " $SKIP " in *" $name "*)
+    echo "=== $(date -u +%H:%M:%S) chain: $name SKIPPED ===" >> .chain_r4.log
+    return ;;
+  esac
+  echo "=== $(date -u +%H:%M:%S) chain: $name start ===" >> .chain_r4.log
+  "$@" > ".${name}_r4.log" 2>&1
+  rc=$?
+  echo "=== $(date -u +%H:%M:%S) chain: $name rc=$rc ===" >> .chain_r4.log
+}
+
+run ablate    bash scripts/queue_ablate_r4.sh
+run batch10   bash scripts/queue_batch10_r4.sh
+run hostplan  bash scripts/queue_hostplan_r4.sh
+run spatialtpu bash scripts/queue_spatial_tpu_r4.sh
+echo "=== $(date -u +%H:%M:%S) chain: DONE ===" >> .chain_r4.log
