@@ -124,9 +124,11 @@ def main():
     float(jnp.sum(outs["semantic_scores"][0, 0].astype(jnp.float32)))
     compile_t = time.perf_counter() - t0
 
-    # discard one execution (relay warm-up artifact), then time
-    outs = fwd(variables["params"], variables["batch_stats"], levels_dev, batches_dev)
-    float(jnp.sum(outs["semantic_scores"][0, 0].astype(jnp.float32)))
+    # discard one execution (relay warm-up artifact — TPU only; the CPU
+    # backend has no relay and a 2M-pt single-core forward costs minutes)
+    if os.environ.get("SPATIAL_PLATFORM") != "cpu":
+        outs = fwd(variables["params"], variables["batch_stats"], levels_dev, batches_dev)
+        float(jnp.sum(outs["semantic_scores"][0, 0].astype(jnp.float32)))
     t0 = time.perf_counter()
     acc = 0.0
     for _ in range(REPS):
