@@ -27,4 +27,8 @@ run ablate    bash scripts/queue_ablate_r4.sh
 run batch10   bash scripts/queue_batch10_r4.sh
 run hostplan  bash scripts/queue_hostplan_r4.sh
 run spatialtpu bash scripts/queue_spatial_tpu_r4.sh
+# Insurance for the driver's BENCH_r04: one plain warm bench at the end so
+# the default-config compile cache is verifiably hot after all variant runs
+# (it also folds the variant sidecars into the artifact's extras).
+run warmbench bash scripts/tpu_snap_run.sh python bench.py
 echo "=== $(date -u +%H:%M:%S) chain: DONE ===" >> .chain_r4.log
