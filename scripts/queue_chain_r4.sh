@@ -13,6 +13,13 @@ SKIP=${SKIP:-}
 
 run() {
   name=$1; shift
+  # two skip channels: SKIP env at launch, or a /tmp/skip_<name> marker
+  # created any time BEFORE the stage starts (steers a chain already
+  # launched by the watcher when the night runs long)
+  if [ -e "/tmp/skip_$name" ]; then
+    echo "=== $(date -u +%H:%M:%S) chain: $name SKIPPED (marker) ===" >> .chain_r4.log
+    return
+  fi
   case " $SKIP " in *" $name "*)
     echo "=== $(date -u +%H:%M:%S) chain: $name SKIPPED ===" >> .chain_r4.log
     return ;;
