@@ -188,32 +188,39 @@ def main():
     train_points = sum((batch_points * ((n_steps + 1) // 2))[:n_steps])
     train_mpts_per_sec = train_points / train_dt / 1e6
 
-    # ---- inference throughput (eval forward), same sequential protocol ----
-    note("compiling inference")
-    n_inf = n_steps
-    from tpu3dwsis.nn.network import preprocess as _pre
+    # ---- inference throughput (eval forward), same sequential protocol.
+    # BENCH_SKIP_INF=1 skips it — variant runs (batch-10, hostplan) sidecar
+    # only the train numbers, so the eval-forward compile (~minutes on the
+    # remote service) buys nothing there. The default driver run always
+    # measures it. ----
+    skip_inf = os.environ.get("BENCH_SKIP_INF", "0") == "1"
+    inf_scenes_per_sec = mpts_per_sec = None
+    if not skip_inf:
+        note("compiling inference")
+        n_inf = n_steps
+        from tpu3dwsis.nn.network import preprocess as _pre
 
-    @jax.jit
-    def run_forward(params, batch_stats, batch):
-        pre = _pre(batch, statics, use_coords=model.cfg.use_coords)
-        outs = model.apply(
-            {"params": params, "batch_stats": batch_stats}, batch, pre, train=False
+        @jax.jit
+        def run_forward(params, batch_stats, batch):
+            pre = _pre(batch, statics, use_coords=model.cfg.use_coords)
+            outs = model.apply(
+                {"params": params, "batch_stats": batch_stats}, batch, pre, train=False
+            )
+            return outs["semantic_scores"][0, 0]
+
+        float(run_forward(state.params, state.batch_stats, batches[0]))
+        note("inference compiled; warm-up")
+        float(run_forward(state.params, state.batch_stats, batches[1]))
+        note("timing inference")
+        t0 = time.perf_counter()
+        for i in range(n_inf):
+            float(run_forward(state.params, state.batch_stats, batches[i % 2]))
+        inf_dt = time.perf_counter() - t0
+        total_points = sum(
+            int(np.asarray(b.point_valid).sum()) for b in (batches * ((n_inf + 1) // 2))[:n_inf]
         )
-        return outs["semantic_scores"][0, 0]
-
-    float(run_forward(state.params, state.batch_stats, batches[0]))
-    note("inference compiled; warm-up")
-    float(run_forward(state.params, state.batch_stats, batches[1]))
-    note("timing inference")
-    t0 = time.perf_counter()
-    for i in range(n_inf):
-        float(run_forward(state.params, state.batch_stats, batches[i % 2]))
-    inf_dt = time.perf_counter() - t0
-    total_points = sum(
-        int(np.asarray(b.point_valid).sum()) for b in (batches * ((n_inf + 1) // 2))[:n_inf]
-    )
-    inf_scenes_per_sec = BATCH * n_inf / inf_dt
-    mpts_per_sec = total_points / inf_dt / 1e6
+        inf_scenes_per_sec = BATCH * n_inf / inf_dt
+        mpts_per_sec = total_points / inf_dt / 1e6
 
     result = {
                 "metric": "train_scenes_per_sec_stage3",
@@ -222,8 +229,8 @@ def main():
                 "vs_baseline": round(train_scenes_per_sec / BASELINE_TRAIN_SCENES_PER_SEC, 2),
                 "extra": {
                     "train_mpts_per_sec": round(train_mpts_per_sec, 3),
-                    "inference_scenes_per_sec": round(inf_scenes_per_sec, 3),
-                    "inference_mpts_per_sec": round(mpts_per_sec, 3),
+                    "inference_scenes_per_sec": round(inf_scenes_per_sec, 3) if inf_scenes_per_sec else None,
+                    "inference_mpts_per_sec": round(mpts_per_sec, 3) if mpts_per_sec else None,
                     "points_per_scene": int(np.mean([s.num_points for s in scenes])),
                     "baseline_mpts_per_sec": 0.39,
                     "batch": BATCH,

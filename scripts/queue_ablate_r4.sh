@@ -4,5 +4,5 @@
 # grad/fwd_train/unet/unet_grad/ecc_grad/losses/opt compile fresh (remote
 # service, minutes each).  One TPU job at a time (tpu_snap_run.sh enforces).
 cd /root/repo
-ABL_WHAT=train,grad,opt,fwd_train,fwd_eval,unet,unet_grad,ecc_grad,points,losses \
+ABL_WHAT=train,fwd_train,grad,opt,unet_grad,ecc_grad,points,losses \
   exec bash scripts/tpu_snap_run.sh python scripts/ablate_step.py

@@ -3,5 +3,5 @@
 # published recipe batch size (ScanNet_v2_3D_WSIS.yaml:22) with remat on.
 # bench_room_12..19 are cached; compile is fresh for the batch-10 shapes.
 cd /root/repo
-BENCH_BATCH=10 BENCH_REMAT=1 \
+BENCH_BATCH=10 BENCH_REMAT=1 BENCH_SKIP_INF=1 \
   exec bash scripts/tpu_snap_run.sh python bench.py

@@ -4,5 +4,5 @@
 # the default (then RE-WARM the plain bench before round end); if it loses,
 # delete the flag + dead fields.
 cd /root/repo
-BENCH_HOSTPLAN=1 \
+BENCH_HOSTPLAN=1 BENCH_SKIP_INF=1 \
   exec bash scripts/tpu_snap_run.sh python bench.py
