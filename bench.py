@@ -86,10 +86,40 @@ def measure_device():
     return round(gbps, 1), round(tflops, 1)
 
 
+def _wait_for_chip():
+    """If another TPU job is alive (scripts/tpu_snap_run.sh pidfile), WAIT
+    for it instead of colliding — two jobs on the single relay chip wedge
+    the compile queue, which is how round 3's driver bench timed out.  Runs
+    before any jax import so no device is touched while waiting."""
+    pidfile = "/tmp/tpu_job.pid"
+    deadline = time.time() + float(os.environ.get("BENCH_WAIT_S", "2400"))
+    warned = False
+    while time.time() < deadline:
+        try:
+            with open(pidfile) as f:
+                pid = int(f.read().strip())
+        except (OSError, ValueError):
+            return
+        if pid == os.getpid() or pid == os.getppid():
+            return  # we ARE the pidfile holder (launched via tpu_snap_run.sh)
+        try:
+            os.kill(pid, 0)
+        except OSError:
+            return  # holder exited
+        if not warned:
+            print(f"# bench: TPU job pid {pid} is alive; waiting for it "
+                  "(BENCH_WAIT_S)", file=sys.stderr, flush=True)
+            warned = True
+        time.sleep(15)
+    print("# bench: wait timed out; proceeding anyway", file=sys.stderr, flush=True)
+
+
 def main():
     import jax
 
     from tpu3dwsis.utils.profiling import enable_compilation_cache
+
+    _wait_for_chip()
 
     enable_compilation_cache(os.path.join(CACHE, "jax"))
     verbose = os.environ.get("BENCH_VERBOSE", "1") == "1"

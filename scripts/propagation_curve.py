@@ -61,7 +61,7 @@ def main():
     from tpu3dwsis.data.loader import SceneDataset
     from tpu3dwsis.data.weak_labels import WeakLabelStore
     from tpu3dwsis.nn.network import NetConfig, WSISNet
-    from tpu3dwsis.train.curriculum import CurriculumConfig, Trainer
+    from tpu3dwsis.train.curriculum import CurriculumConfig, DeadlineReached, Trainer
     from tpu3dwsis.utils.profiling import enable_compilation_cache
 
     enable_compilation_cache(os.path.join(CACHE, "jax"))
@@ -108,6 +108,13 @@ def main():
 
     flush_partial()
 
+    # PROP_DEADLINE_S: wall-clock budget for THIS launch.  Once passed, the
+    # trainer checkpoints, a git-bankable resume file is written, and the
+    # process exits 0 with the chip free — the next launch resumes.  This is
+    # the round-3/4 lesson: long TPU jobs never survive to completion
+    # (sessions end, containers recycle), so the curriculum must advance in
+    # bounded, resumable slices.
+    deadline_s = float(os.environ.get("PROP_DEADLINE_S", "0") or 0)
     cfg = CurriculumConfig(
         batch_size=BATCH,
         stage1_epochs=EP[0],
@@ -119,6 +126,7 @@ def main():
         save_freq=int(os.environ.get("PROP_SAVE_FREQ", "20")),
         eval_freq=10_000,
         log_dir=os.path.join(CACHE, "prop_log"),
+        deadline_ts=(time.time() + deadline_s) if deadline_s > 0 else None,
     )
     trainer = Trainer(model, statics, ds, cfg, val_dataset=val_ds, eval_statics=eval_statics)
 
@@ -158,9 +166,43 @@ def main():
         print(f"# resumed from {rck}: {curve[-1]}", flush=True)
         flush_partial()
 
+    def write_bank(stage, epoch):
+        """Compact resume state at a git-bankable path (the queue script
+        commits it; git is the only storage a container recycle spares)."""
+        from tpu3dwsis.train.checkpoint import save_checkpoint
+
+        import json as _json
+
+        os.makedirs(os.path.join(CACHE, "prop_bank"), exist_ok=True)
+        save_checkpoint(
+            os.path.join(CACHE, "prop_bank", "resume"),
+            trainer.state,
+            {
+                "epoch": epoch,
+                "stage": stage,
+                "global_step": trainer.global_step,
+                "process_count": 1,
+                "rng_state": _json.dumps(trainer.rng.bit_generator.state),
+            },
+            store,
+            bank=True,
+        )
+
     t0 = time.time()
-    trainer.run(resume_meta=resume_meta)
+    try:
+        trainer.run(resume_meta=resume_meta)
+    except DeadlineReached as d:
+        curve.append({"event": f"deadline_stop:{d.stage}@{d.epoch}",
+                      **store.label_stats()})
+        print(f"# {curve[-1]}", flush=True)
+        flush_partial()
+        write_bank(d.stage, d.epoch)
+        print(f"# PROP_DEADLINE_S={deadline_s:.0f} reached at stage "
+              f"{d.stage} epoch {d.epoch}; state banked, exiting cleanly",
+              flush=True)
+        return
     train_t = time.time() - t0
+    write_bank("done", 0)
 
     # persist the trained state so larger val sets can be evaluated post-hoc
     # without retraining (the curriculum itself only saves at save_freq)

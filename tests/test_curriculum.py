@@ -127,7 +127,7 @@ def test_resume_at_stage_boundary(tmp_path):
     # simulated meta: stage-1 complete
     t.init_state()
     ran = []
-    t.train_stage = lambda stage, start_epoch=1, keep_opt=False: ran.append(
+    t.train_stage = lambda stage, start_epoch=1, keep_opt=False, **kw: ran.append(
         (stage.name, start_epoch, keep_opt)
     )
     t.propagation_pass = lambda ind: ran.append(("prop", ind))

@@ -51,7 +51,7 @@ class _LeafRef:
         self.idx = idx
 
 
-def _fast_save(path: str, payload) -> None:
+def _fast_save(path: str, payload, compress: bool = False) -> None:
     """Single-file npz checkpoint: bulk device_get, atomic rename."""
     t0 = time.monotonic()
     payload = jax.device_get(payload)
@@ -69,7 +69,7 @@ def _fast_save(path: str, payload) -> None:
     arrays["__skeleton__"] = np.frombuffer(blob, np.uint8)
     final = path if path.endswith(".npz") else path + ".npz"
     tmp = final + ".tmp.npz"
-    np.savez(tmp, **arrays)
+    (np.savez_compressed if compress else np.savez)(tmp, **arrays)
     os.replace(tmp, final)
     mb = os.path.getsize(final) / 2**20
     print(
@@ -117,7 +117,13 @@ def save_checkpoint(
     state: TrainState,
     meta: Dict[str, Any],
     weak_store: Optional[WeakLabelStore] = None,
+    bank: bool = False,
 ):
+    """``bank=True`` writes a compact *resume bank*: params cast to float16,
+    optimizer state dropped, compressed npz.  Banks are small enough to
+    commit to git (the only storage that survives a container recycle);
+    :func:`load_checkpoint` restores them with ``meta["_opt_reset"]`` set so
+    the caller re-creates the optimizer and fast-forwards its schedule."""
     payload = {
         "params": state.params,
         "batch_stats": state.batch_stats,
@@ -125,11 +131,19 @@ def save_checkpoint(
         "step": state.step,
         "meta": dict(meta),
     }
+    if bank:
+        del payload["opt_state"]
+        payload["meta"]["banked"] = True
+        payload["params"] = jax.tree_util.tree_map(
+            lambda a: np.asarray(a, np.float16)
+            if np.asarray(a).dtype == np.float32 else np.asarray(a),
+            jax.device_get(payload["params"]),
+        )
     if weak_store is not None:
         payload["weak"] = weak_store.state_to_arrays()
     with _delayed_interrupt():
         if jax.process_count() == 1:
-            _fast_save(os.path.abspath(path), payload)
+            _fast_save(os.path.abspath(path), payload, compress=bank)
         else:
             import orbax.checkpoint as ocp
 
@@ -152,8 +166,28 @@ def load_checkpoint(
         payload = _fast_load(os.path.abspath(path))
         if weak_store is not None and "weak" in payload:
             weak_store.state_from_arrays(payload["weak"])
+        meta = dict(payload.get("meta", {}))
+        if "opt_state" not in payload:
+            # resume bank (see save_checkpoint(bank=True)): the optimizer
+            # state was dropped to keep the file git-bankable.  Keep the
+            # template's opt_state as a placeholder and flag the reset so
+            # the trainer re-creates tx and fast-forwards its schedule.
+            if state is None:
+                raise ValueError(
+                    f"{path} is a resume bank (no opt_state); a template "
+                    "TrainState is required to restore it"
+                )
+            payload["opt_state"] = state.opt_state
+            meta["_opt_reset"] = True
+        params = payload["params"]
+        if meta.get("banked") and state is not None:
+            # f16-banked params back to the model's parameter dtypes
+            params = jax.tree_util.tree_map(
+                lambda tmpl, a: np.asarray(a, np.asarray(tmpl).dtype),
+                jax.device_get(state.params), params,
+            )
         new_state = TrainState(
-            params=payload["params"],
+            params=params,
             batch_stats=payload["batch_stats"],
             opt_state=payload["opt_state"],
             step=payload["step"],
@@ -163,7 +197,7 @@ def load_checkpoint(
                 jax.tree_util.tree_structure(state),
                 jax.tree_util.tree_leaves(new_state),
             )
-        return new_state, payload.get("meta", {})
+        return new_state, meta
 
     import orbax.checkpoint as ocp
 

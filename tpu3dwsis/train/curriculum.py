@@ -38,9 +38,35 @@ from .optim import make_optimizer
 from .state import TrainState, init_train_state
 from .step import make_forward_fn, make_train_step
 
-__all__ = ["StageConfig", "CurriculumConfig", "Trainer"]
+__all__ = ["StageConfig", "CurriculumConfig", "Trainer", "DeadlineReached"]
 
 log = logging.getLogger("tpu3dwsis.train")
+
+
+class DeadlineReached(Exception):
+    """Raised by :meth:`Trainer.run` when ``cfg.deadline_ts`` passes: the
+    current state has already been checkpointed, training stops cleanly so
+    the chip is freed (a TPU job that outlives its session collides with the
+    next job — the round-3 bench loss).  Callers resume from the checkpoint."""
+
+    def __init__(self, stage: str, epoch: int):
+        super().__init__(f"deadline reached at stage {stage} epoch {epoch}")
+        self.stage, self.epoch = stage, epoch
+
+
+def _fast_forward_opt(opt_state, step):
+    """Set every ``count`` leaf of a freshly-initialized optax state to
+    ``step`` so the PolyLR schedule resumes at the right position after a
+    bank resume (the bank drops Adam moments; they re-warm in ~20 steps)."""
+    flat, treedef = jax.tree_util.tree_flatten_with_path(opt_state)
+    out = []
+    for path, leaf in flat:
+        last = path[-1] if path else None
+        name = getattr(last, "name", getattr(last, "key", None))
+        if name == "count":
+            leaf = jnp.asarray(step, jnp.asarray(leaf).dtype)
+        out.append(leaf)
+    return jax.tree_util.tree_unflatten(treedef, out)
 
 
 @dataclasses.dataclass
@@ -70,6 +96,9 @@ class CurriculumConfig:
     whole_scene_match_radius: float = 0.9  # 1.2 for S3DIS (s3dis_dataset.py:986)
     log_dir: str = "log/run"
     seed: int = 123
+    # absolute unix time; once passed, the trainer checkpoints and raises
+    # DeadlineReached after the current epoch (graceful chip handoff)
+    deadline_ts: Optional[float] = None
 
 
 class Trainer:
@@ -159,11 +188,20 @@ class Trainer:
         self.state = init_train_state(variables["params"], variables["batch_stats"], tx)
 
     # ------------------------------------------------------------- one stage
-    def train_stage(self, stage: StageConfig, start_epoch: int = 1, keep_opt: bool = False):
+    def train_stage(
+        self,
+        stage: StageConfig,
+        start_epoch: int = 1,
+        keep_opt: bool = False,
+        opt_reset: bool = False,
+    ):
         """Train one stage; ``start_epoch``/``keep_opt`` support exact
         mid-stage resume (reference ``do_train`` resumes via checkpoint meta,
         ``train_scannetv2.py:673-693``): the restored opt_state already sits
-        at the right PolyLR schedule position, so it must NOT be re-inited."""
+        at the right PolyLR schedule position, so it must NOT be re-inited.
+        ``opt_reset`` (bank resume: the checkpoint carried no opt_state):
+        re-init the optimizer and fast-forward its schedule counts to the
+        restored step so PolyLR continues at the right position."""
         cfg = self.cfg
         ds = self.train_dataset
         steps_per_epoch = max(len(ds.scenes) // self.local_batch, 1)
@@ -178,6 +216,10 @@ class Trainer:
         if not keep_opt:
             # fresh optimizer per stage (reference re-creates it in do_train)
             self.state = self.state.replace(opt_state=tx.init(self.state.params), step=0)
+        elif opt_reset:
+            self.state = self.state.replace(
+                opt_state=_fast_forward_opt(tx.init(self.state.params), self.state.step)
+            )
 
         steps = {}
         for sp_on in (False, True):
@@ -228,35 +270,42 @@ class Trainer:
                 "stage %s epoch %d/%d loss %.4f (%.1fs: data %.1fs step %.1fs)",
                 stage.name, epoch, stage.epochs, mean_loss, time.time() - t0, data_t, step_t,
             )
-            if epoch % cfg.save_freq == 0 or epoch == stage.epochs:
-                import json
-
-                path = os.path.join(cfg.log_dir, f"epoch_{epoch:05d}_{stage.name}")
-                if self.is_main:
-                    save_checkpoint(
-                        path,
-                        self.state,
-                        {
-                            "epoch": epoch,
-                            "stage": stage.name,
-                            "global_step": self.global_step,
-                            # resume sanity: weak-label shards are per-host
-                            "process_count": jax.process_count(),
-                            # exact-resume extras: data-order RNG mid-stream state
-                            "rng_state": json.dumps(self.rng.bit_generator.state),
-                        },
-                        self.train_dataset.weak_store,
-                    )
-                elif jax.process_count() > 1:
-                    # each host owns a disjoint scene shard: persist its
-                    # weak-label state as a sidecar of the main checkpoint
-                    from .checkpoint import save_weak_sidecar
-
-                    save_weak_sidecar(
-                        path, jax.process_index(), self.train_dataset.weak_store
-                    )
+            past_deadline = cfg.deadline_ts is not None and time.time() > cfg.deadline_ts
+            if epoch % cfg.save_freq == 0 or epoch == stage.epochs or past_deadline:
+                self.save_stage_checkpoint(stage.name, epoch)
+            if past_deadline:
+                log.info("deadline passed: checkpointed, stopping cleanly")
+                raise DeadlineReached(stage.name, epoch)
             if self.val_dataset is not None and epoch % cfg.eval_freq == 0:
                 self.validate()
+
+    def save_stage_checkpoint(self, stage_name: str, epoch: int):
+        import json
+
+        path = os.path.join(self.cfg.log_dir, f"epoch_{epoch:05d}_{stage_name}")
+        if self.is_main:
+            save_checkpoint(
+                path,
+                self.state,
+                {
+                    "epoch": epoch,
+                    "stage": stage_name,
+                    "global_step": self.global_step,
+                    # resume sanity: weak-label shards are per-host
+                    "process_count": jax.process_count(),
+                    # exact-resume extras: data-order RNG mid-stream state
+                    "rng_state": json.dumps(self.rng.bit_generator.state),
+                },
+                self.train_dataset.weak_store,
+            )
+        elif jax.process_count() > 1:
+            # each host owns a disjoint scene shard: persist its
+            # weak-label state as a sidecar of the main checkpoint
+            from .checkpoint import save_weak_sidecar
+
+            save_weak_sidecar(
+                path, jax.process_index(), self.train_dataset.weak_store
+            )
 
     # ------------------------------------------------- per-scene eval passes
     def _scene_outputs(self, scene_idx: int) -> Dict[str, np.ndarray]:
@@ -464,8 +513,19 @@ class Trainer:
                 start_epoch,
             )
 
+        opt_reset = bool(resume_meta and resume_meta.get("_opt_reset"))
         for i in range(start_idx, len(plan)):
             stage, pre = plan[i]
+            if (
+                self.cfg.deadline_ts is not None
+                and time.time() > self.cfg.deadline_ts
+                and i > start_idx
+            ):
+                # stage boundary: the end-of-stage checkpoint is already on
+                # disk (epoch == stage.epochs always saves) — stop before
+                # paying for the next propagation pass / stage compile
+                prev = plan[i - 1][0]
+                raise DeadlineReached(prev.name, prev.epochs)
             mid_stage = i == start_idx and start_epoch > 1
             if pre is not None and not mid_stage:
                 pre()
@@ -473,4 +533,5 @@ class Trainer:
                 stage,
                 start_epoch=start_epoch if i == start_idx else 1,
                 keep_opt=mid_stage,
+                opt_reset=opt_reset and mid_stage,
             )
