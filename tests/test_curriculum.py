@@ -162,3 +162,54 @@ def test_full_curriculum_runs(tiny_world):
     assert meta["stage"] == "whole_scene"
     leaf0 = next(iter(np.asarray(x) for x in [state2.step]))
     assert int(leaf0) == trainer.state.step
+
+
+def test_deadline_slice_banks_and_resumes(tmp_path):
+    """Bounded-slice contract (round-4): a deadline in the past stops the
+    run after epoch 1 WITH a checkpoint on disk; a compact f16 bank
+    (save_checkpoint(bank=True), no opt_state) restores in a fresh world
+    with _opt_reset and the curriculum completes without replaying the
+    banked epoch."""
+    import json
+    import time
+
+    from tpu3dwsis.train.checkpoint import save_checkpoint
+    from tpu3dwsis.train.curriculum import DeadlineReached
+
+    model, statics, ds, cfg, store = _make_world(str(tmp_path / "a"))
+    cfg.deadline_ts = time.time() - 1.0
+    t = Trainer(model, statics, ds, cfg)
+    with pytest.raises(DeadlineReached) as ei:
+        t.run()
+    assert (ei.value.stage, ei.value.epoch) == ("semantic", 1)
+    ck = os.path.join(cfg.log_dir, "epoch_00001_semantic.npz")
+    assert os.path.isfile(ck)
+
+    bank = str(tmp_path / "bank")
+    save_checkpoint(
+        bank, t.state,
+        {"epoch": 1, "stage": "semantic", "global_step": t.global_step,
+         "rng_state": json.dumps(t.rng.bit_generator.state)},
+        store, bank=True,
+    )
+    assert os.path.getsize(bank + ".npz") < os.path.getsize(ck)
+
+    model2, statics2, ds2, cfg2, store2 = _make_world(str(tmp_path / "b"))
+    tb = Trainer(model2, statics2, ds2, cfg2)
+    tb.init_state()
+    tb.state, meta = load_checkpoint(bank + ".npz", tb.state, ds2.weak_store)
+    assert meta.get("_opt_reset") is True
+    # f16 bank restored to template dtypes, values close to the live state
+    for a, b in zip(
+        jax.tree_util.tree_leaves(jax.device_get(t.state.params)),
+        jax.tree_util.tree_leaves(jax.device_get(tb.state.params)),
+    ):
+        assert np.asarray(b).dtype == np.asarray(a).dtype
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=2e-3, atol=2e-3,
+        )
+    tb.apply_resume_meta(meta)
+    tb.run(resume_meta=meta)
+    assert {h["stage"] for h in tb.history} == {"semantic", "round0", "whole_scene"}
+    assert all(not (h["stage"] == "semantic" and h["epoch"] == 1) for h in tb.history)
