@@ -5,4 +5,8 @@
 # service, minutes each).  One TPU job at a time (tpu_snap_run.sh enforces).
 cd /root/repo
 ABL_WHAT=train,fwd_train,grad,opt,unet_grad,ecc_grad,points,losses \
-  exec bash scripts/tpu_snap_run.sh python scripts/ablate_step.py
+  bash scripts/tpu_snap_run.sh python scripts/ablate_step.py
+rc=$?
+# bank the fresh compile-cache entries (recycles wipe uncommitted files)
+bash scripts/commit_cache.sh "Bank jax compile-cache entries after ablate stage"
+exit $rc

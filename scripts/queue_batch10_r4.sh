@@ -4,4 +4,8 @@
 # bench_room_12..19 are cached; compile is fresh for the batch-10 shapes.
 cd /root/repo
 BENCH_BATCH=10 BENCH_REMAT=1 BENCH_SKIP_INF=1 \
-  exec bash scripts/tpu_snap_run.sh python bench.py
+  bash scripts/tpu_snap_run.sh python bench.py
+rc=$?
+# bank the fresh compile-cache entries (recycles wipe uncommitted files)
+bash scripts/commit_cache.sh "Bank jax compile-cache entries after batch-10 stage"
+exit $rc

@@ -28,6 +28,12 @@ run() {
   "$@" > ".${name}_r4.log" 2>&1
   rc=$?
   echo "=== $(date -u +%H:%M:%S) chain: $name rc=$rc ===" >> .chain_r4.log
+  # bank everything a container recycle would destroy: the stage log, bench
+  # variant sidecars (folded into the driver's BENCH artifact extras), and
+  # JSON artifacts (the queue scripts bank the compile cache themselves)
+  git add -f ".${name}_r4.log" .bench_cache/bench_extra_*.json 2>/dev/null
+  git add SPATIAL_tpu.json NEXT.md 2>/dev/null
+  git diff --cached --quiet || git commit -q -m "Bank $name stage log + artifacts"
 }
 
 run ablate    bash scripts/queue_ablate_r4.sh

@@ -5,4 +5,8 @@
 # delete the flag + dead fields.
 cd /root/repo
 BENCH_HOSTPLAN=1 BENCH_SKIP_INF=1 \
-  exec bash scripts/tpu_snap_run.sh python bench.py
+  bash scripts/tpu_snap_run.sh python bench.py
+rc=$?
+# bank the fresh compile-cache entries (recycles wipe uncommitted files)
+bash scripts/commit_cache.sh "Bank jax compile-cache entries after hostplan stage"
+exit $rc
