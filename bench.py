@@ -89,37 +89,58 @@ def measure_device():
 def _wait_for_chip():
     """If another TPU job is alive (scripts/tpu_snap_run.sh pidfile), WAIT
     for it instead of colliding — two jobs on the single relay chip wedge
-    the compile queue, which is how round 3's driver bench timed out.  Runs
-    before any jax import so no device is touched while waiting."""
+    the compile queue, which is how round 3's driver bench timed out.
+    Called as the first statement of main(), before first backend use.
+
+    Cooperative preemption (VERDICT r4 #2): while waiting, hold the
+    ``/tmp/tpu_release`` marker — a running trainer's deadline check
+    (``train/curriculum.py``) honors it like a passed deadline, so the
+    holder checkpoints and frees the chip within about one epoch instead
+    of running to its own deadline."""
     pidfile = "/tmp/tpu_job.pid"
+    release = "/tmp/tpu_release"
     deadline = time.time() + float(os.environ.get("BENCH_WAIT_S", "2400"))
     warned = False
+
+    def done():
+        try:
+            os.remove(release)
+        except OSError:
+            pass
+
     while time.time() < deadline:
         try:
             with open(pidfile) as f:
                 pid = int(f.read().strip())
         except (OSError, ValueError):
-            return
+            return done()
         if pid == os.getpid() or pid == os.getppid():
-            return  # we ARE the pidfile holder (launched via tpu_snap_run.sh)
+            return done()  # we ARE the pidfile holder (via tpu_snap_run.sh)
         try:
             os.kill(pid, 0)
         except OSError:
-            return  # holder exited
+            return done()  # holder exited
         if not warned:
-            print(f"# bench: TPU job pid {pid} is alive; waiting for it "
-                  "(BENCH_WAIT_S)", file=sys.stderr, flush=True)
+            print(f"# bench: TPU job pid {pid} is alive; asked it to release "
+                  "the chip (/tmp/tpu_release) and waiting (BENCH_WAIT_S)",
+                  file=sys.stderr, flush=True)
             warned = True
+        try:
+            with open(release, "w") as f:
+                f.write(str(os.getpid()))
+        except OSError:
+            pass
         time.sleep(15)
+    done()
     print("# bench: wait timed out; proceeding anyway", file=sys.stderr, flush=True)
 
 
 def main():
+    _wait_for_chip()
+
     import jax
 
     from tpu3dwsis.utils.profiling import enable_compilation_cache
-
-    _wait_for_chip()
 
     enable_compilation_cache(os.path.join(CACHE, "jax"))
     verbose = os.environ.get("BENCH_VERBOSE", "1") == "1"

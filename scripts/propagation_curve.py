@@ -202,7 +202,12 @@ def main():
               flush=True)
         return
     train_t = time.time() - t0
-    write_bank("done", 0)
+    # Bank the LAST REAL stage at its final epoch (not a synthetic 'done'
+    # stage): if the post-training eval dies and the container recycles,
+    # the next launch resumes from this bank and run() fast-forwards past
+    # all stages straight to the eval, instead of crashing on an unknown
+    # stage name (advisor r4 finding).
+    write_bank("whole_scene", EP[-1])
 
     # persist the trained state so larger val sets can be evaluated post-hoc
     # without retraining (the curriculum itself only saves at save_freq)

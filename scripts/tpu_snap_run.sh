@@ -16,7 +16,23 @@ if [ -f "$PIDFILE" ]; then
     exit 3
   fi
 fi
+# ROUND-END GUARD (VERDICT r4 #2a): refuse to START a TPU stage inside the
+# last 90 min of the round, so the driver's bench window is never contended.
+# .round_end_ts is written at round start (unix ts of the expected round
+# end); override for must-run jobs with TPU_GUARD_OVERRIDE=1.
+ENDTS_FILE=/root/repo/.round_end_ts
+if [ "${TPU_GUARD_OVERRIDE:-0}" != "1" ] && [ -f "$ENDTS_FILE" ]; then
+  end_ts=$(cat "$ENDTS_FILE" 2>/dev/null)
+  now=$(date +%s)
+  if [ -n "$end_ts" ] && [ "$now" -gt "$((end_ts - 5400))" ] 2>/dev/null; then
+    echo "REFUSED: inside the last 90 min of the round (end_ts=$end_ts); chip stays free for the driver bench" >&2
+    exit 4
+  fi
+fi
 echo $$ > "$PIDFILE"
+# a release marker can only be stale here (no other job is alive; a waiting
+# bench re-touches it every 15 s anyway) — don't let it instantly stop us
+rm -f /tmp/tpu_release
 SNAP=/tmp/tpu_snap
 if [ ! -d "$SNAP" ] || [ "$(cat $SNAP/.git_rev 2>/dev/null)" != "$(git -C /root/repo rev-parse HEAD)" ]; then
   rm -rf "$SNAP"; mkdir -p "$SNAP"

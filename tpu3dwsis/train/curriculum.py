@@ -43,6 +43,13 @@ __all__ = ["StageConfig", "CurriculumConfig", "Trainer", "DeadlineReached"]
 log = logging.getLogger("tpu3dwsis.train")
 
 
+# Cooperative preemption: bench.py (the driver's artifact) touches this
+# marker before waiting on the chip; a running trainer treats it exactly
+# like a passed deadline — checkpoint, then stop cleanly within one epoch
+# so the chip frees without anyone killing a mid-compile process.
+RELEASE_MARKER = "/tmp/tpu_release"
+
+
 class DeadlineReached(Exception):
     """Raised by :meth:`Trainer.run` when ``cfg.deadline_ts`` passes: the
     current state has already been checkpointed, training stops cleanly so
@@ -270,7 +277,9 @@ class Trainer:
                 "stage %s epoch %d/%d loss %.4f (%.1fs: data %.1fs step %.1fs)",
                 stage.name, epoch, stage.epochs, mean_loss, time.time() - t0, data_t, step_t,
             )
-            past_deadline = cfg.deadline_ts is not None and time.time() > cfg.deadline_ts
+            past_deadline = (
+                cfg.deadline_ts is not None and time.time() > cfg.deadline_ts
+            ) or os.path.exists(RELEASE_MARKER)
             if epoch % cfg.save_freq == 0 or epoch == stage.epochs or past_deadline:
                 self.save_stage_checkpoint(stage.name, epoch)
             if past_deadline:
@@ -517,10 +526,12 @@ class Trainer:
         for i in range(start_idx, len(plan)):
             stage, pre = plan[i]
             if (
-                self.cfg.deadline_ts is not None
-                and time.time() > self.cfg.deadline_ts
-                and i > start_idx
-            ):
+                (
+                    self.cfg.deadline_ts is not None
+                    and time.time() > self.cfg.deadline_ts
+                )
+                or os.path.exists(RELEASE_MARKER)
+            ) and i > start_idx:
                 # stage boundary: the end-of-stage checkpoint is already on
                 # disk (epoch == stage.epochs always saves) — stop before
                 # paying for the next propagation pass / stage compile
