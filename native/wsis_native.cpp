@@ -150,6 +150,36 @@ void eig3_sym(const double m[6], double ev[3]) {
   ev[1] = 3.0 * q - ev[0] - ev[2];
 }
 
+// Eigenvector of the symmetric matrix m for eigenvalue lam: the null
+// direction of (M - lam*I), taken as the largest-magnitude cross product
+// of two of its rows.  Returns false when every cross product vanishes
+// (repeated eigenvalue — caller picks a basis).
+bool eig3_sym_vec(const double m[6], double lam, double v[3]) {
+  const double r[3][3] = {{m[0] - lam, m[1], m[2]},
+                          {m[1], m[3] - lam, m[4]},
+                          {m[2], m[4], m[5] - lam}};
+  double best = 0.0;
+  for (int a = 0; a < 3; a++) {
+    int b = (a + 1) % 3;
+    double cx = r[a][1] * r[b][2] - r[a][2] * r[b][1];
+    double cy = r[a][2] * r[b][0] - r[a][0] * r[b][2];
+    double cz = r[a][0] * r[b][1] - r[a][1] * r[b][0];
+    double n2 = cx * cx + cy * cy + cz * cz;
+    if (n2 > best) {
+      best = n2;
+      v[0] = cx;
+      v[1] = cy;
+      v[2] = cz;
+    }
+  }
+  if (best < 1e-24) return false;
+  double inv = 1.0 / std::sqrt(best);
+  v[0] *= inv;
+  v[1] *= inv;
+  v[2] *= inv;
+  return true;
+}
+
 }  // namespace
 
 extern "C" {
@@ -343,23 +373,38 @@ void wsis_compute_geof(const float* xyz, int n, int k, float cell, float* out) {
       for (double& v : c) v /= m;
       double ev[3];
       eig3_sym(c, ev);
-      for (double& v : ev) v = std::sqrt(std::max(v, 0.0));
-      double s = ev[0] + ev[1] + ev[2] + 1e-12;
-      double l1 = ev[0], l2 = ev[1], l3 = ev[2];
+      double raw[3] = {std::max(ev[0], 0.0), std::max(ev[1], 0.0),
+                       std::max(ev[2], 0.0)};
+      double l1 = std::sqrt(raw[0]), l2 = std::sqrt(raw[1]), l3 = std::sqrt(raw[2]);
       float linearity = (float)((l1 - l2) / (l1 + 1e-12));
       float planarity = (float)((l2 - l3) / (l1 + 1e-12));
       float scattering = (float)(l3 / (l1 + 1e-12));
-      // verticality as in SPG's ply_c: weighted unary vector z-component
-      double ux = l1 * std::fabs(c[2]) + l2 * std::fabs(c[1]) + l3 * std::fabs(c[0]);
-      (void)ux;
-      // simpler, standard formulation: 1 - |nz| of the smallest eigenvector
-      // approximated via covariance z share
-      float verticality = (float)(1.0 - std::fabs(c[5] / (c[0] + c[3] + c[5] + 1e-12)));
+      // verticality, SPG eigen formulation (ply_c.cpp:396-476): the unary
+      // vector u_d = sum_i lambda_i * |v_i[d]| over the RAW eigenvalues and
+      // the orthonormal eigenvectors; verticality = u_z / ||u||.
+      double v1[3], v3[3], v2[3];
+      bool ok1 = eig3_sym_vec(c, ev[0], v1);
+      bool ok3 = eig3_sym_vec(c, ev[2], v3);
+      if (!ok1 || !ok3) {
+        // (near-)isotropic neighbourhood: any orthonormal basis is an
+        // eigenbasis; use the coordinate axes
+        v1[0] = 1; v1[1] = 0; v1[2] = 0;
+        v3[0] = 0; v3[1] = 0; v3[2] = 1;
+      }
+      // middle vector by orthogonality (exact for distinct eigenvalues)
+      v2[0] = v3[1] * v1[2] - v3[2] * v1[1];
+      v2[1] = v3[2] * v1[0] - v3[0] * v1[2];
+      v2[2] = v3[0] * v1[1] - v3[1] * v1[0];
+      double u[3];
+      for (int d = 0; d < 3; d++)
+        u[d] = raw[0] * std::fabs(v1[d]) + raw[1] * std::fabs(v2[d]) +
+               raw[2] * std::fabs(v3[d]);
+      double un = std::sqrt(u[0] * u[0] + u[1] * u[1] + u[2] * u[2]);
+      float verticality = (float)(un > 1e-24 ? u[2] / un : 0.0);
       out[4 * i] = linearity;
       out[4 * i + 1] = planarity;
       out[4 * i + 2] = scattering;
       out[4 * i + 3] = verticality;
-      (void)s;
     }
   }
 }

@@ -234,12 +234,17 @@ def _geof_numpy(xyz, k):
     mean = pts.mean(1, keepdims=True)
     d = pts - mean
     cov = np.einsum("nkd,nke->nde", d, d) / pts.shape[1]
-    ev = np.linalg.eigvalsh(cov)[:, ::-1]
-    ev = np.sqrt(np.maximum(ev, 0))
+    w, V = np.linalg.eigh(cov)  # ascending; V[:, :, i] is the i-th vector
+    raw = np.maximum(w[:, ::-1], 0)  # descending raw eigenvalues
+    V = V[:, :, ::-1]
+    ev = np.sqrt(raw)
     l1, l2, l3 = ev[:, 0], ev[:, 1], ev[:, 2]
     linearity = (l1 - l2) / (l1 + 1e-12)
     planarity = (l2 - l3) / (l1 + 1e-12)
     scattering = l3 / (l1 + 1e-12)
-    trace = cov[:, 0, 0] + cov[:, 1, 1] + cov[:, 2, 2]
-    verticality = 1.0 - np.abs(cov[:, 2, 2] / (trace + 1e-12))
+    # SPG unary-vector verticality (ply_c.cpp:396-476): u_d = sum_i
+    # lambda_i * |v_i[d]| over raw eigenvalues; verticality = u_z / ||u||
+    u = np.einsum("ni,ndi->nd", raw, np.abs(V))
+    un = np.linalg.norm(u, axis=1)
+    verticality = np.where(un > 1e-24, u[:, 2] / np.maximum(un, 1e-24), 0.0)
     return np.stack([linearity, planarity, scattering, verticality], 1).astype(np.float32)
