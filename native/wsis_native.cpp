@@ -471,7 +471,8 @@ struct MaxFlow {
 // Returns number of components; out_comp[i] in [0, C).
 int wsis_cut_pursuit_l0(const float* feat, int n, int dim, const int32_t* eu,
                         const int32_t* ev, const float* ew, int n_edges,
-                        float reg, int max_iter, int32_t* out_comp) {
+                        float reg, int max_iter, int32_t* out_comp,
+                        float* out_energy /*nullable: final E written here*/) {
   std::vector<int> comp(n, 0);
   int n_comp = 1;
   std::vector<std::vector<int>> members;
@@ -492,9 +493,34 @@ int wsis_cut_pursuit_l0(const float* feat, int n, int dim, const int32_t* eu,
     }
   };
 
+  // L0 cut-pursuit energy (CutPursuit.h:83-95 semantics, L2 fidelity
+  // API.h:117,133-134): E = sum_i ||f_i - mean_comp(i)||^2
+  //                       + reg * sum_{cut edges} w_e.
+  // The outer loop is a strict descent on E: a round of splits is only
+  // KEPT if it lowers the energy; otherwise the partition reverts and the
+  // loop has converged.  (members/mean must match comp when called.)
+  auto energy = [&]() {
+    double fid = 0.0;
+    for (int c = 0; c < n_comp; c++)
+      for (int i : members[c])
+        for (int d = 0; d < dim; d++) {
+          double dd = feat[(size_t)i * dim + d] - mean[(size_t)c * dim + d];
+          fid += dd * dd;
+        }
+    double cut = 0.0;
+    for (int e = 0; e < n_edges; e++)
+      if (comp[eu[e]] != comp[ev[e]]) cut += ew[e];
+    return fid + (double)reg * cut;
+  };
+
+  comp_means();
+  double prev_energy = energy();
+
   for (int iter = 0; iter < max_iter; iter++) {
     comp_means();
     bool any_split = false;
+    std::vector<int> undo_comp = comp;
+    int undo_n_comp = n_comp;
 
     // --- split step: binary labeling per component via maxflow ---
     // seeds: two farthest-from-mean points projected on principal direction
@@ -605,8 +631,21 @@ int wsis_cut_pursuit_l0(const float* feat, int n, int dim, const int32_t* eu,
       n_comp = ncc;
     }
     rebuild_members();
+
+    // energy-descent acceptance (the reference's convergence criterion):
+    // revert and stop when the round did not lower E
+    comp_means();
+    double e_new = energy();
+    if (e_new >= prev_energy - 1e-9 * std::fabs(prev_energy)) {
+      comp = undo_comp;
+      n_comp = undo_n_comp;
+      rebuild_members();
+      break;
+    }
+    prev_energy = e_new;
   }
 
+  if (out_energy != nullptr) *out_energy = (float)prev_energy;
   for (int i = 0; i < n; i++) out_comp[i] = comp[i];
   return n_comp;
 }

@@ -31,8 +31,13 @@ run() {
   # bank everything a container recycle would destroy: the stage log, bench
   # variant sidecars (folded into the driver's BENCH artifact extras), and
   # JSON artifacts (the queue scripts bank the compile cache themselves)
-  git add -f ".${name}_r4.log" .bench_cache/bench_extra_*.json 2>/dev/null
-  git add SPATIAL_tpu.json NEXT.md 2>/dev/null
+  # each pathspec separately with || true: a multi-pathspec git add aborts
+  # ENTIRELY (rc 128, nothing staged) when any pathspec matches nothing
+  # (advisor r4 finding)
+  git add -f ".${name}_r4.log" 2>/dev/null || true
+  git add -f .bench_cache/bench_extra_*.json 2>/dev/null || true
+  git add SPATIAL_tpu.json 2>/dev/null || true
+  git add NEXT.md 2>/dev/null || true
   git diff --cached --quiet || git commit -q -m "Bank $name stage log + artifacts"
 }
 

@@ -159,3 +159,86 @@ def test_geof_verticality_analytic(lib):
     ).astype(np.float32) + rng.normal(0, 1e-4, (n, 3)).astype(np.float32)
     v = native.compute_geof(line, k=20, cell=0.2)[:, 3]
     assert v.mean() > 0.9, v.mean()
+
+
+def test_cut_pursuit_energy_descent(lib):
+    """VERDICT r4 #6: the split loop is a strict descent on the reference
+    energy E = sum ||f_i - mean_c||^2 + reg * cut weight (CutPursuit.h:83-95):
+    more iterations never raise E, and any accepted split lowers it below
+    the single-component energy."""
+    rng = np.random.default_rng(4)
+    n = 300
+    feat = np.zeros((n, 4), np.float32)
+    feat[: n // 3, 0] = 0.0
+    feat[n // 3 : 2 * n // 3, 0] = 3.0
+    feat[2 * n // 3 :, 0] = 6.0
+    feat += rng.normal(0, 0.1, (n, 4)).astype(np.float32)
+    eu = np.arange(n - 1, dtype=np.int32)
+    ev = eu + 1
+    ew = np.ones(n - 1, np.float32)
+
+    # E at the trivial 1-component partition (iter budget 0 splits nothing)
+    mu = feat.mean(0)
+    e0 = float(((feat - mu) ** 2).sum())
+
+    prev = None
+    for it in range(1, 6):
+        comp, e = native.cut_pursuit_l0(
+            feat, eu, ev, ew, reg=0.5, max_iter=it, return_energy=True
+        )
+        # returned energy matches the partition it returns
+        k = comp.max() + 1
+        fid = sum(
+            float(((feat[comp == c] - feat[comp == c].mean(0)) ** 2).sum())
+            for c in range(k)
+        )
+        cut = float(ew[comp[eu] != comp[ev]].sum())
+        assert abs(e - (fid + 0.5 * cut)) < 1e-2 * max(1.0, abs(e))
+        assert e < e0
+        if prev is not None:
+            assert e <= prev + 1e-4 * abs(prev)
+        prev = e
+
+
+def test_cut_pursuit_multiplane_partition_quality(lib):
+    """Partition quality on a synthetic 3-plane scene (the reference uses
+    cut-pursuit to carve S3DIS rooms into superpoints): three parallel
+    planes with distinct geometry must land in >=3 components whose
+    boundaries align with the plane boundaries (>=95% purity per plane),
+    without shattering into noise-many pieces."""
+    rng = np.random.default_rng(5)
+    per = 300
+    planes = []
+    for z in (0.0, 1.0, 2.0):
+        p = np.column_stack(
+            [rng.uniform(0, 1, per), rng.uniform(0, 1, per), np.full(per, z)]
+        )
+        planes.append(p)
+    xyz = np.concatenate(planes).astype(np.float32) + rng.normal(
+        0, 0.005, (3 * per, 3)
+    ).astype(np.float32)
+    nbr = native.knn_graph(xyz, k=8, cell=0.3)
+    eu = np.repeat(np.arange(len(xyz), dtype=np.int32), 8)
+    ev = nbr.reshape(-1).astype(np.int32)
+    keep = ev >= 0
+    eu, ev = eu[keep], ev[keep]
+    ew = np.ones(len(eu), np.float32)
+    # partition on [geof, elevation] like the S3DIS pipeline (geof + color
+    # features are homogeneous WITHIN a plane; raw xyz is not)
+    feat = np.concatenate(
+        [native.compute_geof(xyz, k=20, cell=0.3), xyz[:, 2:3]], axis=1
+    ).astype(np.float32)
+    comp = native.cut_pursuit_l0(feat, eu, ev, ew, reg=0.2, max_iter=10)
+    labels = np.repeat(np.arange(3), per)
+    k = comp.max() + 1
+    assert k >= 3, k
+    assert k <= 30, f"over-fragmented: {k} components"
+    # each plane nearly pure: its points share one dominant component,
+    # and that component does not leak across plane boundaries
+    for p in range(3):
+        mask = labels == p
+        dom = np.bincount(comp[mask]).argmax()
+        purity = (comp[mask] == dom).mean()
+        leak = (comp[~mask] == dom).mean()
+        assert purity > 0.95, (p, purity)
+        assert leak < 0.02, (p, leak)

@@ -70,6 +70,7 @@ def _declare(lib: ctypes.CDLL):
     lib.wsis_cut_pursuit_l0.argtypes = [
         f32, ctypes.c_int, ctypes.c_int, i32, i32, f32,
         ctypes.c_int, ctypes.c_float, ctypes.c_int, i32,
+        ctypes.POINTER(ctypes.c_float),
     ]
     lib.wsis_cut_pursuit_l0.restype = ctypes.c_int
     lib.wsis_edge_features.argtypes = [
@@ -129,8 +130,13 @@ def cut_pursuit_l0(
     edge_weight: np.ndarray,
     reg: float = 0.03,
     max_iter: int = 10,
-) -> np.ndarray:
-    """L0 cut-pursuit partition → component id per node (libcp parity)."""
+    return_energy: bool = False,
+):
+    """L0 cut-pursuit partition → component id per node (libcp parity).
+
+    The native loop is a strict descent on the reference energy
+    E = Σ‖f_i − mean_comp(i)‖² + reg·Σ_{cut} w_e (``CutPursuit.h:83-95``);
+    ``return_energy=True`` additionally returns the final E."""
     feat = np.ascontiguousarray(feat, np.float32)
     eu = np.ascontiguousarray(edges_u, np.int32)
     ev = np.ascontiguousarray(edges_v, np.int32)
@@ -139,9 +145,13 @@ def cut_pursuit_l0(
     if lib is None:
         raise RuntimeError("native library unavailable; cut_pursuit_l0 has no numpy fallback")
     out = np.empty(len(feat), np.int32)
+    energy = ctypes.c_float(0.0)
     lib.wsis_cut_pursuit_l0(
-        feat, len(feat), feat.shape[1], eu, ev, ew, len(eu), reg, max_iter, out
+        feat, len(feat), feat.shape[1], eu, ev, ew, len(eu), reg, max_iter, out,
+        ctypes.byref(energy),
     )
+    if return_energy:
+        return out, float(energy.value)
     return out
 
 
