@@ -155,7 +155,10 @@ def main():
     if rck:
         from tpu3dwsis.train.checkpoint import load_checkpoint
 
-        trainer.init_state()
+        # abstract template: structure/shapes/dtypes only, zero device work —
+        # the checkpoint overwrites every value (saves ~20 min of eager
+        # relay-init per resume slice)
+        trainer.init_state(abstract=True)
         trainer.state, meta = load_checkpoint(rck, trainer.state, store)
         trainer.apply_resume_meta(meta)
         resume_meta = meta

@@ -44,7 +44,7 @@ PROP_RESUME_CURVE="$CURVE" \
 PROP_EPOCHS=${PROP_EPOCHS:-60,30,20,20,40} \
 PROP_SAVE_FREQ=${PROP_SAVE_FREQ:-10} \
 PROP_VAL_SCENES=${PROP_VAL_SCENES:-32} \
-PROP_DEADLINE_S=${PROP_DEADLINE_S:-3600} \
+PROP_DEADLINE_S=${PROP_DEADLINE_S:-10800} \
   bash scripts/tpu_snap_run.sh python scripts/propagation_curve.py
 rc=$?
 # bank everything a recycle would otherwise destroy — each add on its own

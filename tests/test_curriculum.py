@@ -95,7 +95,9 @@ def test_resume_fast_forward(tmp_path):
     model2, statics2, ds2, cfg2, store2 = _make_world(str(tmp_path / "b"), save_freq=1,
                                                       stage2_rounds=(2,))
     tb = Trainer(model2, statics2, ds2, cfg2)
-    tb.init_state()
+    # the production resume path: abstract (eval_shape) template, zero
+    # device work before the checkpoint overwrites every value
+    tb.init_state(abstract=True)
     ckpt = os.path.join(cfg.log_dir, "epoch_00001_round0")
     assert os.path.isfile(ckpt + ".npz")  # fast single-file format
     tb.state, meta = load_checkpoint(ckpt, tb.state, ds2.weak_store)
@@ -196,7 +198,7 @@ def test_deadline_slice_banks_and_resumes(tmp_path):
 
     model2, statics2, ds2, cfg2, store2 = _make_world(str(tmp_path / "b"))
     tb = Trainer(model2, statics2, ds2, cfg2)
-    tb.init_state()
+    tb.init_state(abstract=True)  # bank restore needs only the template
     tb.state, meta = load_checkpoint(bank + ".npz", tb.state, ds2.weak_store)
     assert meta.get("_opt_reset") is True
     # f16 bank restored to template dtypes, values close to the live state

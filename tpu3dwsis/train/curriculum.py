@@ -176,7 +176,13 @@ class Trainer:
         return shard_batch(to_scene_batch(arrays), self.data_mesh)
 
     # ------------------------------------------------------------------ init
-    def init_state(self):
+    def init_state(self, abstract: bool = False):
+        """``abstract=True`` (resume path): build the TrainState TEMPLATE
+        (tree structure + shapes + dtypes) via ``jax.eval_shape`` and host
+        zeros, touching the device not at all — a checkpoint will overwrite
+        every value anyway.  The eager device init costs ~20 min of relay
+        round-trips per process on the remote-TPU setup; paying it per
+        resume slice was the round-4 slice-economics killer."""
         ds = self.train_dataset
         arrays = ds.collate_batch(
             list(range(min(self.local_batch, len(ds.scenes)))), self.rng, training=True
@@ -190,7 +196,29 @@ class Trainer:
         # Only param shapes matter here, but mismatched markers would alias
         # real slots of the global index space in multi-host mode.
         pre = preprocess(batch, ds.statics, use_coords=self.model.cfg.use_coords)
-        variables = self.model.init(jax.random.PRNGKey(self.cfg.seed), batch, pre, train=False)
+        if abstract:
+            shapes = jax.eval_shape(
+                lambda b, p: self.model.init(
+                    jax.random.PRNGKey(self.cfg.seed), b, p, train=False
+                ),
+                batch, pre,
+            )
+            variables = jax.tree_util.tree_map(
+                lambda s: np.zeros(s.shape, s.dtype), shapes
+            )
+            tx = make_optimizer(variables["params"])
+            opt_state = jax.tree_util.tree_map(
+                lambda s: np.zeros(s.shape, s.dtype),
+                jax.eval_shape(tx.init, variables["params"]),
+            )
+            self.state = TrainState(
+                params=variables["params"], batch_stats=variables["batch_stats"],
+                opt_state=opt_state, step=0,
+            )
+            return
+        variables = self.model.init(
+            jax.random.PRNGKey(self.cfg.seed), batch, pre, train=False
+        )
         tx = make_optimizer(variables["params"])  # placeholder; re-made per stage
         self.state = init_train_state(variables["params"], variables["batch_stats"], tx)
 
@@ -221,11 +249,17 @@ class Trainer:
             power=cfg.poly_power,
         )
         if not keep_opt:
-            # fresh optimizer per stage (reference re-creates it in do_train)
-            self.state = self.state.replace(opt_state=tx.init(self.state.params), step=0)
+            # fresh optimizer per stage (reference re-creates it in do_train).
+            # jit the init: eager optax init dispatches one relay round-trip
+            # per parameter leaf (~minutes); one jitted program is one trip.
+            self.state = self.state.replace(
+                opt_state=jax.jit(tx.init)(self.state.params), step=0
+            )
         elif opt_reset:
             self.state = self.state.replace(
-                opt_state=_fast_forward_opt(tx.init(self.state.params), self.state.step)
+                opt_state=_fast_forward_opt(
+                    jax.jit(tx.init)(self.state.params), self.state.step
+                )
             )
 
         steps = {}
