@@ -103,6 +103,14 @@ def _wait_for_chip():
     warned = False
 
     def done():
+        # claim the chip: holding the pidfile makes tpu_snap_run.sh refuse
+        # to launch a queued stage while this bench runs (the release
+        # marker alone is deleted right here, so it can't protect us)
+        try:
+            with open(pidfile, "w") as f:
+                f.write(str(os.getpid()))
+        except OSError:
+            pass
         try:
             os.remove(release)
         except OSError:

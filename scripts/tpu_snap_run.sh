@@ -29,10 +29,20 @@ if [ "${TPU_GUARD_OVERRIDE:-0}" != "1" ] && [ -f "$ENDTS_FILE" ]; then
     exit 4
   fi
 fi
+# a FRESH release marker means a bench is alive and waiting for the chip
+# right now (it re-touches the marker every 15 s) — yield to it instead of
+# deleting its marker and racing it onto the chip.  A stale marker (>60 s)
+# is a leftover from a dead process; clear it and proceed.
+REL=/tmp/tpu_release
+if [ -f "$REL" ]; then
+  age=$(( $(date +%s) - $(stat -c %Y "$REL" 2>/dev/null || echo 0) ))
+  if [ "$age" -lt 60 ]; then
+    echo "REFUSED: a live bench holds $REL (age ${age}s); chip yields to it" >&2
+    exit 4
+  fi
+fi
 echo $$ > "$PIDFILE"
-# a release marker can only be stale here (no other job is alive; a waiting
-# bench re-touches it every 15 s anyway) — don't let it instantly stop us
-rm -f /tmp/tpu_release
+rm -f "$REL"
 SNAP=/tmp/tpu_snap
 if [ ! -d "$SNAP" ] || [ "$(cat $SNAP/.git_rev 2>/dev/null)" != "$(git -C /root/repo rev-parse HEAD)" ]; then
   rm -rf "$SNAP"; mkdir -p "$SNAP"
