@@ -242,3 +242,23 @@ def test_cut_pursuit_multiplane_partition_quality(lib):
         leak = (comp[~mask] == dom).mean()
         assert purity > 0.95, (p, purity)
         assert leak < 0.02, (p, leak)
+
+
+def test_stale_so_rebuilt_from_source_hash(tmp_path, monkeypatch):
+    """A .so whose recorded source hash lags wsis_native.cpp (what a git
+    checkout restores when the binary was committed before the source
+    changed) must be rebuilt transparently by get_lib()."""
+    import tpu3dwsis.native as nat
+
+    lib = nat.get_lib()
+    if lib is None:
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+    # poison the sidecar, drop the cached handle: next get_lib must rebuild
+    with open(nat._HASH_SIDECAR, "w") as f:
+        f.write("0" * 64)
+    monkeypatch.setattr(nat, "_lib", None)
+    assert nat.get_lib() is not None
+    with open(nat._HASH_SIDECAR) as f:
+        assert f.read().strip() == nat._src_hash()

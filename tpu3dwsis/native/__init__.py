@@ -24,8 +24,26 @@ _CANDIDATES = [
 _lib: Optional[ctypes.CDLL] = None
 
 
+def _src_hash() -> str:
+    import hashlib
+
+    src = os.path.join(_REPO, "native", "wsis_native.cpp")
+    try:
+        with open(src, "rb") as f:
+            return hashlib.sha256(f.read()).hexdigest()
+    except OSError:
+        return ""
+
+
+_HASH_SIDECAR = os.path.join(_REPO, "native", ".so_src_hash")
+
+
 def build_native(force: bool = False) -> Optional[str]:
-    """Compile the shared library with g++ (no cmake required)."""
+    """Compile the shared library with g++ (no cmake required).
+
+    Writes a source-hash sidecar next to the .so so :func:`get_lib` can
+    detect a binary built from OLDER source — the exact state a container
+    recycle restores when the .so in git lags the .cpp."""
     out = _CANDIDATES[1]
     src = os.path.join(_REPO, "native", "wsis_native.cpp")
     if os.path.exists(out) and not force:
@@ -36,24 +54,47 @@ def build_native(force: bool = False) -> Optional[str]:
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True)
+        try:
+            with open(_HASH_SIDECAR, "w") as f:
+                f.write(_src_hash())
+        except OSError:
+            pass
         return out
     except (subprocess.CalledProcessError, FileNotFoundError):
         return None
+
+
+def _is_stale(path: str) -> bool:
+    """True when ``path`` is the repo-root .so and its recorded source hash
+    differs from the current wsis_native.cpp (binary predates the source)."""
+    if path != _CANDIDATES[1]:
+        return False  # cmake build dir is developer-managed
+    try:
+        with open(_HASH_SIDECAR) as f:
+            recorded = f.read().strip()
+    except OSError:
+        return True  # no record — assume stale, a rebuild is cheap (~5 s)
+    return recorded != _src_hash()
 
 
 def get_lib(build_if_missing: bool = True) -> Optional[ctypes.CDLL]:
     global _lib
     if _lib is not None:
         return _lib
+    found = None
     for path in _CANDIDATES:
         if os.path.exists(path):
-            _lib = ctypes.CDLL(path)
+            found = path
             break
-    else:
+    if found is not None and _is_stale(found) and build_if_missing:
+        if build_native(force=True) is None:
+            pass  # toolchain unavailable: better a stale lib than none
+    if found is None:
         if build_if_missing and build_native():
-            _lib = ctypes.CDLL(_CANDIDATES[1])
+            found = _CANDIDATES[1]
         else:
             return None
+    _lib = ctypes.CDLL(found)
     _declare(_lib)
     return _lib
 
