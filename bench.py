@@ -195,17 +195,13 @@ def main():
             sp_size=np.ones(sc.num_superpoints, np.float32),
         )
 
-    # BENCH_HOSTPLAN=1: collate precomputes the voxel-level link tables on
-    # the host (data/hostplan.py) — in training these land on the prefetch
-    # thread, so the step measured here is the honest device cost
-    host_plan = os.environ.get("BENCH_HOSTPLAN", "0") == "1"
     rng = np.random.default_rng(0)
     batches = []
     for i in range(2):
         group = scenes[i * BATCH : (i + 1) * BATCH]
         arrays = collate(
             group, [labels_for(s) for s in group], statics, rng,
-            training=True, host_plan=host_plan,
+            training=True,
         )
         batches.append(to_scene_batch(arrays))
 
@@ -248,7 +244,7 @@ def main():
     train_mpts_per_sec = train_points / train_dt / 1e6
 
     # ---- inference throughput (eval forward), same sequential protocol.
-    # BENCH_SKIP_INF=1 skips it — variant runs (batch-10, hostplan) sidecar
+    # BENCH_SKIP_INF=1 skips it — variant runs (e.g. batch-10) sidecar
     # only the train numbers, so the eval-forward compile (~minutes on the
     # remote service) buys nothing there. The default driver run always
     # measures it. ----
@@ -303,13 +299,13 @@ def main():
                 },
             }
 
-    # Variant runs (batch-10/remat, hostplan A/B) record a sidecar; the
+    # Variant runs (batch-10/remat) record a sidecar; the
     # plain default run — the one the driver captures as BENCH_rN — attaches
     # every sidecar under extra so the official artifact carries the
     # batch-10 and hostplan numbers alongside batch 6 (VERDICT r3 #5/#7).
-    is_variant = BATCH != 6 or remat or host_plan
+    is_variant = BATCH != 6 or remat
     if is_variant:
-        tag = f"batch{BATCH}" + ("_remat" if remat else "") + ("_hostplan" if host_plan else "")
+        tag = f"batch{BATCH}" + ("_remat" if remat else "")
         result["extra"]["variant"] = tag
         with open(os.path.join(CACHE, f"bench_extra_{tag}.json"), "w") as f:
             json.dump(result, f)

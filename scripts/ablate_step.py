@@ -195,17 +195,24 @@ def main():
                 )
                 loss, _ = multi_task_loss(outs, batch, loss_cfg, flags)
                 return loss
-            return jax.value_and_grad(loss_fn)(params)
+            # returning the FULL grad tree OOMs: the outputs alone are a
+            # param-sized tree resident ON TOP of params + bwd workspace
+            # (the real train step donates state and consumes grads in the
+            # fused update, so it fits — r5 .ablate_r5_grad.log).  A scalar
+            # checksum keeps every backward op in the program but lets XLA
+            # free grad buffers as it folds them into the reduction.
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            leaves = jax.tree_util.tree_leaves(grads)
+            return loss + sum(jnp.sum(g.astype(jnp.float32)) for g in leaves)
         if "grad" in WHAT:
             timed_seq("grad", run_grad,
                       (state.params, state.batch_stats, batch0),
                       (state.params, state.batch_stats, batch1))
-        try:
-            _, grads0 = run_grad(state.params, state.batch_stats, batch0)
-            grads0 = jax.tree_util.tree_map(lambda x: x.block_until_ready(), grads0)
-        except Exception as e:  # noqa: BLE001
-            print(json.dumps({"component": "grads0", "error": repr(e)[:500]}), flush=True)
-            grads0 = None
+        # the opt probe times ONLY the optimizer update: synthetic grads of
+        # the right tree shape serve exactly as well as real ones and avoid
+        # holding a second batch + backward program live
+        grads0 = jax.tree_util.tree_map(
+            lambda x: (x * 1e-3).astype(x.dtype), state.params)
 
     if "opt" in WHAT and grads0 is not None:
         import optax

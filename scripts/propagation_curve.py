@@ -82,7 +82,6 @@ def main():
     store.acquire(np.random.default_rng(123), annotation_num=1)
     ds = SceneDataset(
         train_scenes, statics, weak_store=store,
-        host_plan=os.environ.get("PROP_HOSTPLAN", "0") == "1",
     )
     val_ds = SceneDataset(val_scenes, eval_statics)
 

@@ -1,8 +1,8 @@
 #!/bin/bash
 # Round-5 TPU pipeline, strictly sequential, detached-safe.  Order:
 #   1. propagation slices until PROPAGATION_r5.json is complete
-#   2. backward attribution   3. batch-10 proof   4. hostplan A/B
-#   5. spatial-tpu            6. final plain warm bench
+#   2. backward attribution   3. batch-10 proof
+#   4. spatial-tpu            5. final plain warm bench
 # Every stage banks its log + artifacts in git immediately (container
 # recycles spare only the checkout).  tpu_snap_run.sh enforces one job at a
 # time AND the round-end guard (refuses new stages in the last 90 min), so
@@ -55,7 +55,6 @@ done
 
 run ablate     bash scripts/queue_ablate_r4.sh
 run batch10    bash scripts/queue_batch10_r4.sh
-run hostplan   bash scripts/queue_hostplan_r4.sh
 run spatialtpu bash scripts/queue_spatial_tpu_r4.sh
 # Insurance for the driver's BENCH_r05: one plain warm bench at the end so
 # the default-config compile cache is verifiably hot after all variant runs.

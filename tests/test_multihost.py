@@ -155,10 +155,10 @@ def test_two_process_step_matches_single_device(tmp_path):
     assert np.isclose(got["checksum"], ref_cs, rtol=1e-3), (got, ref_cs)
 
 
-def test_global_batch_accepts_host_plan_collate():
-    """Regression for the r3 multi-host break: a host_plan=True collate (which
-    emits tuple-valued hp_* fields) must flow through global_batch — hp_*
-    dropped to None (device rebuilds the plan), everything else globalized."""
+def test_global_batch_globalizes_training_collate():
+    """A training collate must flow through global_batch with every field
+    globalized (regression guard descended from the r3 multi-host break;
+    the host-plan variant that originally triggered it was removed in r5)."""
     import jax
     from jax.sharding import Mesh
 
@@ -172,9 +172,7 @@ def test_global_batch_accepts_host_plan_collate():
         statics,
         np.random.default_rng(0),
         training=True,
-        host_plan=True,
     )
-    assert isinstance(arrays["hp_level_keys"], tuple)
     mesh = Mesh(np.array(jax.devices()[:1]), ("data",))
     batch = global_batch(
         {k: v for k, v in arrays.items() if not k.startswith("_")},
@@ -182,7 +180,6 @@ def test_global_batch_accepts_host_plan_collate():
         statics,
         process_index=0,
     )
-    assert batch.hp_level_keys is None and batch.hp_parents is None
     assert batch.point_coords.shape[0] == statics.max_points
 
 

@@ -84,11 +84,6 @@ class SceneBatch(NamedTuple):
     edge_feats: jax.Array  # [E, 13] float32
     edge_valid: jax.Array  # [E] bool
 
-    # host-plan extras (``data/hostplan.py``; None when collate didn't build
-    # them).  Presence promises points are sorted by level-0 voxel key.
-    hp_level_keys: tuple | None = None  # per level 1..L-1: [cap_i] int32 sorted
-    hp_parents: tuple | None = None  # per level 0..L-2: [cap_i] int32, cap_{i+1} = null
-
     @property
     def num_points(self) -> int:
         return self.point_coords.shape[0]

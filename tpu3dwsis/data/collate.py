@@ -99,7 +99,6 @@ def collate(
     crop_mode: str = "shift",  # "shift" (ScanNet crop) | "block" (S3DIS crop_v2)
     subsample: bool = False,  # S3DIS random 1/4 subsample during training
     with_elastic: bool = False,  # PointGroup elastic distortion (config-off default)
-    host_plan: bool = False,  # precompute voxel-level link tables on host (train only)
 ) -> Dict[str, np.ndarray]:
     """Build the flat padded arrays of a :class:`SceneBatch` (as numpy).
 
@@ -291,30 +290,12 @@ def collate(
     out["_sp_offsets"] = np.asarray(sp_offsets)
     out["_edge_offsets"] = np.asarray(edge_offsets)
 
-    if host_plan:
-        # TRAINING-ONLY: permute every per-point array into voxel-key order
-        # (device voxelize becomes sort-free; per-scene slicing of outputs
-        # breaks, which only the eval paths need) and attach the per-level
-        # link tables computed here instead of by device sorts.
-        assert training, "host_plan collate reorders points; eval slicers need scene order"
-        from .hostplan import build_host_plan, sort_key_np
-
-        perm = sort_key_np(out["point_coords"], out["point_valid"], statics)
-        for k in ("point_coords", "point_xyz", "point_rgb", "point_valid",
-                  "point_sp", "point_sem", "point_ins"):
-            out[k] = out[k][perm]
-        out.update(build_host_plan(out["point_coords"], out["point_valid"], statics))
     return out
 
 
 def to_scene_batch(arrays: Dict[str, np.ndarray]) -> SceneBatch:
     import jax.numpy as jnp
 
-    def conv(v):
-        if isinstance(v, tuple):  # host-plan per-level array tuples
-            return tuple(jnp.asarray(x) for x in v)
-        return jnp.asarray(v)
-
     return SceneBatch(
-        **{k: conv(v) for k, v in arrays.items() if not k.startswith("_")}
+        **{k: jnp.asarray(v) for k, v in arrays.items() if not k.startswith("_")}
     )

@@ -35,7 +35,6 @@ class SceneDataset:
         full_scale_hi: int = 512,
         crop_mode: str = "shift",
         subsample: bool = False,
-        host_plan: bool = False,
     ):
         self.scenes = list(scenes)
         self.statics = statics
@@ -45,10 +44,6 @@ class SceneDataset:
         self.full_scale_hi = full_scale_hi
         self.crop_mode = crop_mode
         self.subsample = subsample
-        # precompute voxel-level link tables on the prefetch thread (training
-        # collates only — host-plan reorders points, eval slicers need scene
-        # order; see data/hostplan.py)
-        self.host_plan = host_plan
 
     def labels_for(self, scene: Scene) -> SceneLabels:
         if self.weak_store is not None:
@@ -86,7 +81,6 @@ class SceneDataset:
             full_scale_hi=self.full_scale_hi,
             crop_mode=self.crop_mode,
             subsample=self.subsample,
-            host_plan=self.host_plan and training,
         )
 
 

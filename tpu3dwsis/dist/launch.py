@@ -143,14 +143,6 @@ def global_batch(
         gshape = (v.shape[0] * k,) + v.shape[1:]
         return jax.make_array_from_process_local_data(sharding, v, gshape)
 
-    # host-plan fields (hp_*) are per-host prefetch products in host-local
-    # point order — they cannot be concatenated into a global index space.
-    # Drop them: the device path rebuilds the plan from point_coords
-    # (nn/network.py falls back when hp_level_keys is None).  Every other
-    # field is required; a missing one is a collate bug and must KeyError.
-    return SceneBatch(
-        **{
-            f: (None if f.startswith("hp_") else put(local[f]))
-            for f in SceneBatch._fields
-        }
-    )
+    # every field is required; a missing one is a collate bug and must
+    # KeyError here rather than a shape error in the forward
+    return SceneBatch(**{f: put(local[f]) for f in SceneBatch._fields})

@@ -229,14 +229,8 @@ def build_spatial_batch(
     n_sp_cap = len(np.asarray(batch_arrays["sp_valid"]))
     stacked = {}
     for name in SceneBatch._fields:
-        # optional host-plan fields (hp_level_keys/hp_parents) are absent from
-        # eval collates and meaningless per-slab — the sharded forward builds
-        # its tables from the halo level sets (build_unet_plan_from_levels).
-        # Only hp_* may be absent; any other missing field is a collate bug
-        # and must KeyError here rather than a shape error in the forward.
-        if name.startswith("hp_"):
-            stacked[name] = None
-            continue
+        # every field is required; a missing one is a collate bug and must
+        # KeyError here rather than a shape error in the forward
         raw = batch_arrays[name]
         a = np.asarray(raw)
         if name in point_fields:

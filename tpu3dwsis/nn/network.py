@@ -81,26 +81,18 @@ def preprocess(batch: SceneBatch, statics: BatchStatics, use_coords: bool = True
     if use_coords:
         feats = jnp.concatenate([feats, batch.point_xyz.astype(feats.dtype)], axis=1)
 
-    hosted = batch.hp_level_keys is not None
     vox = voxelize.voxelize_coords(
         batch.point_coords,
         statics.spatial_shape,
         statics.max_batch,
         statics.max_voxels,
         valid=batch.point_valid,
-        presorted=hosted,  # host-plan collate sorts points by voxel key
     )
     level0 = rulebook.VoxelLevel(keys=vox.keys, coords=vox.coords, valid=vox.valid)
-    if hosted:
-        plan = rulebook.build_unet_plan_hosted(
-            level0, batch.hp_level_keys, batch.hp_parents,
-            statics.spatial_shape, statics.max_batch,
-        )
-    else:
-        plan = rulebook.build_unet_plan(
-            level0, statics.spatial_shape, statics.max_batch,
-            statics.num_levels, statics.level_sizes,
-        )
+    plan = rulebook.build_unet_plan(
+        level0, statics.spatial_shape, statics.max_batch,
+        statics.num_levels, statics.level_sizes,
+    )
     voxel_feats = voxelize.voxel_mean_pool(feats, vox.p2v, statics.max_voxels)
 
     s = batch.num_superpoints

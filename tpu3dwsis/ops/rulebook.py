@@ -64,7 +64,6 @@ __all__ = [
     "invert_down_link",
     "link_levels",
     "build_unet_plan",
-    "build_unet_plan_hosted",
     "build_unet_plan_from_levels",
 ]
 
@@ -239,9 +238,8 @@ def build_downsample(
     # NOTE: ``ckeys`` is NOT globally sorted even though ``fine.keys`` is —
     # floor-halving carries across axis boundaries (fine (2,7,7) < (3,1,6)
     # but halved (1,3,3) > (1,0,3)); it is only piecewise-sorted over the 8
-    # per-axis parity classes, so the unique needs a real sort.  A sort-free
-    # variant exists when the HOST precomputes the level link (see
-    # ``data/hostplan.py``) — this device path is the fallback.
+    # per-axis parity classes, so the unique needs a real sort.  (A sort-free
+    # host-precomputed variant A/B-measured within noise and was removed, r5.)
     # The unique's own sort already knows every row's slot: return_inverse
     # IS the parent map (a separate searchsorted would pay another
     # (M_fine + M_coarse) co-sort per level per step).
@@ -343,52 +341,6 @@ def build_unet_plan_from_levels(
             )
         )
         shape = tuple((s + 1) // 2 for s in shape)
-    return UNetPlan(levels=tuple(plans))
-
-
-def build_unet_plan_hosted(
-    level0: VoxelLevel,
-    hp_level_keys: Sequence[jax.Array],
-    hp_parents: Sequence[jax.Array],
-    spatial_shape: Sequence[int],
-    max_batch: int,
-) -> UNetPlan:
-    """Like :func:`build_unet_plan`, but the coarse key tables and parent
-    maps were precomputed on the HOST (``data/hostplan.py``) — the device
-    does no per-level sort at all: subm tables via the band kernel,
-    child_offset as an elementwise mod, down_nbr as one inversion scatter."""
-    num_levels = len(hp_level_keys) + 1
-    plans = []
-    level = level0
-    shape = tuple(int(s) for s in spatial_shape)
-    for i in range(num_levels):
-        subm = build_subm_table(level, shape, max_batch)
-        if i + 1 < num_levels:
-            ckeys = hp_level_keys[i]
-            cvalid = ckeys != PAD_KEY
-            coarse_shape = tuple((s + 1) // 2 for s in shape)
-            ccoords = hashgrid.unpack_coords(
-                jnp.where(cvalid, ckeys, 0), coarse_shape, max_batch
-            )
-            coarse = VoxelLevel(keys=ckeys, coords=ccoords, valid=cvalid)
-            parent = hp_parents[i]
-            rel = level.coords[:, 1:] % 2
-            child_offset = ((rel[:, 0] * 2 + rel[:, 1]) * 2 + rel[:, 2]).astype(jnp.int32)
-            down_nbr = invert_down_link(parent, child_offset, ckeys.shape[0])
-        else:
-            coarse, down_nbr, parent, child_offset = None, None, None, None
-        plans.append(
-            LevelPlan(
-                level=level,
-                subm_nbr=subm,
-                down_nbr=down_nbr,
-                parent=parent,
-                child_offset=child_offset,
-            )
-        )
-        if coarse is not None:
-            level = coarse
-            shape = tuple((s + 1) // 2 for s in shape)
     return UNetPlan(levels=tuple(plans))
 
 

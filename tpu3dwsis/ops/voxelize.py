@@ -61,7 +61,6 @@ def voxelize_coords(
     max_batch: int,
     max_voxels: int,
     valid: jax.Array | None = None,
-    presorted: bool = False,
 ) -> Voxelization:
     """Deduplicate integer point coordinates ``[N, 4]`` into a padded voxel set.
 
@@ -71,10 +70,6 @@ def voxelize_coords(
     voxels exist, the overflow voxels are silently dropped and the points
     mapping to them become invalid (callers pick ``max_voxels`` per shape
     bucket so this does not happen in practice).
-
-    ``presorted=True`` promises the packed keys are already ascending with
-    all invalid rows in a PAD tail (the host-plan collate sorts points by
-    voxel key — ``data/hostplan.py``), skipping the on-device argsort.
     """
     keys = hashgrid.pack_coords(coords, spatial_shape, max_batch, valid=valid)
     # ONE argsort yields both the unique table and the point->voxel map
@@ -82,12 +77,8 @@ def voxelize_coords(
     # unique(sort) + searchsorted(method='sort') formulation cost two more
     # full co-sorts per step at honest scale (~4M extra sorted elements).
     n = keys.shape[0]
-    if presorted:
-        order = jnp.arange(n, dtype=jnp.int32)
-        ks = keys
-    else:
-        order = jnp.argsort(keys)
-        ks = keys[order]
+    order = jnp.argsort(keys)
+    ks = keys[order]
     first = jnp.concatenate([jnp.ones((1,), bool), ks[1:] != ks[:-1]])
     first = first & (ks != PAD_KEY)
     idx = jnp.cumsum(first.astype(jnp.int32)) - 1  # voxel row per sorted point
@@ -108,11 +99,8 @@ def voxelize_coords(
             .set(ks, mode="drop")[:max_voxels]
         )
     p2v_s = jnp.where((ks != PAD_KEY) & in_cap, idx, max_voxels).astype(jnp.int32)
-    if presorted:
-        p2v = p2v_s  # identity permutation — no inverse scatter needed
-    else:
-        # order is an argsort permutation -> trivially unique
-        p2v = jnp.zeros((n,), jnp.int32).at[order].set(p2v_s, unique_indices=_UNIQ)
+    # order is an argsort permutation -> trivially unique
+    p2v = jnp.zeros((n,), jnp.int32).at[order].set(p2v_s, unique_indices=_UNIQ)
     vvalid = uniq != PAD_KEY
     num = jnp.sum(vvalid.astype(jnp.int32))
     vcoords = hashgrid.unpack_coords(jnp.where(vvalid, uniq, 0), spatial_shape, max_batch)
