@@ -102,15 +102,19 @@ def _wait_for_chip():
     deadline = time.time() + float(os.environ.get("BENCH_WAIT_S", "2400"))
     warned = False
 
-    def done():
+    def done(claim=True):
         # claim the chip: holding the pidfile makes tpu_snap_run.sh refuse
         # to launch a queued stage while this bench runs (the release
-        # marker alone is deleted right here, so it can't protect us)
-        try:
-            with open(pidfile, "w") as f:
-                f.write(str(os.getpid()))
-        except OSError:
-            pass
+        # marker alone is deleted right here, so it can't protect us).
+        # claim=False on the wait-timeout path: the old holder is STILL
+        # alive there, and overwriting its pid would let the next queued
+        # stage consider the chip free while the holder runs on.
+        if claim:
+            try:
+                with open(pidfile, "w") as f:
+                    f.write(str(os.getpid()))
+            except OSError:
+                pass
         try:
             os.remove(release)
         except OSError:
@@ -139,7 +143,7 @@ def _wait_for_chip():
         except OSError:
             pass
         time.sleep(15)
-    done()
+    done(claim=False)
     print("# bench: wait timed out; proceeding anyway", file=sys.stderr, flush=True)
 
 

@@ -158,7 +158,13 @@ bool eig3_sym_vec(const double m[6], double lam, double v[3]) {
   const double r[3][3] = {{m[0] - lam, m[1], m[2]},
                           {m[1], m[3] - lam, m[4]},
                           {m[2], m[4], m[5] - lam}};
-  double best = 0.0;
+  // select by ABSOLUTE cross magnitude (a tiny row crossed with a big one
+  // has near-unit relative magnitude but is pure rounding noise — ratio-
+  // first selection picks it and mislabels clean spectra as degenerate),
+  // then validate the winner RELATIVELY: near-parallel large rows
+  // (repeated eigenvalue to float precision) give a cross whose absolute
+  // norm can clear any fixed epsilon while its direction is noise.
+  double best = 0.0, best_denom = 0.0;
   for (int a = 0; a < 3; a++) {
     int b = (a + 1) % 3;
     double cx = r[a][1] * r[b][2] - r[a][2] * r[b][1];
@@ -167,17 +173,33 @@ bool eig3_sym_vec(const double m[6], double lam, double v[3]) {
     double n2 = cx * cx + cy * cy + cz * cz;
     if (n2 > best) {
       best = n2;
+      best_denom = (r[a][0] * r[a][0] + r[a][1] * r[a][1] + r[a][2] * r[a][2]) *
+                   (r[b][0] * r[b][0] + r[b][1] * r[b][1] + r[b][2] * r[b][2]);
       v[0] = cx;
       v[1] = cy;
       v[2] = cz;
     }
   }
-  if (best < 1e-24) return false;
+  if (best < 1e-24 || best < 1e-18 * best_denom) return false;
   double inv = 1.0 / std::sqrt(best);
   v[0] *= inv;
   v[1] *= inv;
   v[2] *= inv;
   return true;
+}
+
+// unit vector orthogonal to unit u: cross with the least-aligned axis
+void ortho_unit(const double u[3], double out[3]) {
+  int ax = 0;
+  double a0 = std::fabs(u[0]), a1 = std::fabs(u[1]), a2 = std::fabs(u[2]);
+  if (a1 < a0 || a2 < a0) ax = (a1 <= a2) ? 1 : 2;
+  double e[3] = {0, 0, 0};
+  e[ax] = 1;
+  out[0] = u[1] * e[2] - u[2] * e[1];
+  out[1] = u[2] * e[0] - u[0] * e[2];
+  out[2] = u[0] * e[1] - u[1] * e[0];
+  double n = std::sqrt(out[0] * out[0] + out[1] * out[1] + out[2] * out[2]);
+  for (int d = 0; d < 3; d++) out[d] /= n;
 }
 
 }  // namespace
@@ -385,11 +407,22 @@ void wsis_compute_geof(const float* xyz, int n, int k, float cell, float* out) {
       double v1[3], v3[3], v2[3];
       bool ok1 = eig3_sym_vec(c, ev[0], v1);
       bool ok3 = eig3_sym_vec(c, ev[2], v3);
-      if (!ok1 || !ok3) {
-        // (near-)isotropic neighbourhood: any orthonormal basis is an
-        // eigenbasis; use the coordinate axes
+      if (!ok1 && !ok3) {
+        // fully isotropic (l1=l2=l3): any orthonormal basis is an
+        // eigenbasis; use the coordinate axes (what eigh returns for a
+        // scaled identity)
         v1[0] = 1; v1[1] = 0; v1[2] = 0;
         v3[0] = 0; v3[1] = 0; v3[2] = 1;
+      } else if (!ok3) {
+        // l2=l3 repeated (e.g. an exact line: rank-1 covariance) — the
+        // VALID v1 must be kept (discarding it inverted verticality on
+        // exactly collinear vertical points); any unit vector orthogonal
+        // to v1 spans the repeated eigenspace
+        ortho_unit(v1, v3);
+      } else if (!ok1) {
+        // l1=l2 repeated (e.g. an exact isotropic plane): keep v3, any
+        // orthogonal unit vector is an eigenvector of the repeated pair
+        ortho_unit(v3, v1);
       }
       // middle vector by orthogonality (exact for distinct eigenvalues)
       v2[0] = v3[1] * v1[2] - v3[2] * v1[1];

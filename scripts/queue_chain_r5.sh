@@ -53,7 +53,7 @@ EOF
   if [ $rc -eq 3 ] || [ $rc -eq 4 ]; then break; fi
 done
 
-run ablate     bash scripts/queue_ablate_r4.sh
+run ablate     bash scripts/queue_ablate_r5.sh
 run batch10    bash scripts/queue_batch10_r4.sh
 run spatialtpu bash scripts/queue_spatial_tpu_r4.sh
 # Insurance for the driver's BENCH_r05: one plain warm bench at the end so

@@ -99,6 +99,8 @@ import subprocess
 fake_pid = "/tmp/vf_tpu_job.pid"
 fake_rel = "/tmp/vf_tpu_release"
 src = open("/root/repo/bench.py").read()
+assert '"/tmp/tpu_job.pid"' in src and '"/tmp/tpu_release"' in src, (
+    "bench.py marker literals moved; refusing to run against the REAL chip markers")
 src = src.replace('"/tmp/tpu_job.pid"', repr(fake_pid)).replace(
     '"/tmp/tpu_release"', repr(fake_rel))
 open("/tmp/vf_bench.py", "w").write(src)
@@ -113,7 +115,10 @@ assert open(fake_pid).read().strip() == str(os.getpid()), "bench did not claim p
 assert not os.path.exists(fake_rel)
 print("bench chip-claim handoff OK")
 
-snap = open("/root/repo/scripts/tpu_snap_run.sh").read().replace(
+snap_src = open("/root/repo/scripts/tpu_snap_run.sh").read()
+assert "/tmp/tpu_release" in snap_src and "/tmp/tpu_job.pid" in snap_src and "/tmp/tpu_snap" in snap_src, (
+    "tpu_snap_run.sh marker literals moved; refusing to run against REAL paths")
+snap = snap_src.replace(
     "/tmp/tpu_release", fake_rel).replace("/tmp/tpu_job.pid", fake_pid).replace(
     "/tmp/tpu_snap", "/tmp/vf_tpu_snap").replace(
     "/root/repo/.round_end_ts", "/tmp/vf_round_end_ts")

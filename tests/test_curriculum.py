@@ -215,3 +215,23 @@ def test_deadline_slice_banks_and_resumes(tmp_path):
     tb.run(resume_meta=meta)
     assert {h["stage"] for h in tb.history} == {"semantic", "round0", "whole_scene"}
     assert all(not (h["stage"] == "semantic" and h["epoch"] == 1) for h in tb.history)
+
+
+def test_release_marker_staleness_window(tmp_path, monkeypatch):
+    """Only a FRESH /tmp/tpu_release marker (a live bench re-touches it every
+    15 s) preempts a trainer; a leftover from a dead bench must not abort
+    every later run on the machine (code-review r5 finding)."""
+    import time as _time
+
+    from tpu3dwsis.train import curriculum as cur
+
+    marker = tmp_path / "tpu_release"
+    monkeypatch.setattr(cur, "RELEASE_MARKER", str(marker))
+    assert not cur._release_requested()  # absent
+    marker.write_text("123")
+    assert cur._release_requested()  # fresh
+    old = _time.time() - 3600
+    import os as _os
+
+    _os.utime(marker, (old, old))
+    assert not cur._release_requested()  # stale leftover

@@ -255,10 +255,48 @@ def test_stale_so_rebuilt_from_source_hash(tmp_path, monkeypatch):
         import pytest
 
         pytest.skip("native toolchain unavailable")
-    # poison the sidecar, drop the cached handle: next get_lib must rebuild
-    with open(nat._HASH_SIDECAR, "w") as f:
-        f.write("0" * 64)
-    monkeypatch.setattr(nat, "_lib", None)
-    assert nat.get_lib() is not None
+    # poison the sidecar, drop the cached handle: next get_lib must rebuild.
+    # Restore the tracked sidecar even on failure (a failed rebuild must not
+    # leave the repo dirty and every later get_lib() retrying a rebuild).
     with open(nat._HASH_SIDECAR) as f:
-        assert f.read().strip() == nat._src_hash()
+        orig = f.read()
+    try:
+        with open(nat._HASH_SIDECAR, "w") as f:
+            f.write("0" * 64)
+        monkeypatch.setattr(nat, "_lib", None)
+        assert nat.get_lib() is not None
+        with open(nat._HASH_SIDECAR) as f:
+            assert f.read().strip() == nat._src_hash()
+    finally:
+        with open(nat._HASH_SIDECAR) as f:
+            now = f.read()
+        if now.strip() != nat._src_hash():
+            with open(nat._HASH_SIDECAR, "w") as f:
+                f.write(orig)
+
+
+def test_geof_verticality_exact_degenerate_inputs():
+    """Grid-snapped (exactly degenerate) geometries: a rank-1 vertical line
+    must read verticality 1, an exact horizontal grid plane 0 — the
+    pre-r5-review eigenvector fallback discarded the valid axis and
+    inverted the line case; a ratio-first pair selection regression made
+    exact planes read ~0.45 at anisotropic boundary points."""
+    native = pytest.importorskip("tpu3dwsis.native")
+    if native.get_lib() is None:
+        pytest.skip("native toolchain unavailable")
+
+    z = np.arange(50, dtype=np.float32)
+    zero = np.zeros(50, np.float32)
+    vline = np.stack([zero, zero, z], 1)
+    assert native.compute_geof(vline, k=10, cell=2.0)[:, 3].min() > 0.99
+
+    hline = np.stack([z, zero, zero], 1)
+    assert native.compute_geof(hline, k=10, cell=2.0)[:, 3].max() < 1e-6
+
+    xs, ys = np.meshgrid(np.arange(10, dtype=np.float32),
+                         np.arange(10, dtype=np.float32))
+    flat = np.stack([xs.ravel(), ys.ravel(), np.zeros(100, np.float32)], 1)
+    assert native.compute_geof(flat, k=12, cell=3.0)[:, 3].max() < 1e-6
+
+    wall = np.stack([xs.ravel(), np.zeros(100, np.float32), ys.ravel()], 1)
+    assert native.compute_geof(wall, k=12, cell=3.0)[:, 3].min() > 0.3

@@ -88,7 +88,19 @@ def get_lib(build_if_missing: bool = True) -> Optional[ctypes.CDLL]:
             break
     if found is not None and _is_stale(found) and build_if_missing:
         if build_native(force=True) is None:
-            pass  # toolchain unavailable: better a stale lib than none
+            # toolchain unavailable: better a stale lib than none — but say
+            # so, because a pre-r5 binary under the r5 declarations returns
+            # e.g. cut_pursuit energy=0.0 silently
+            import warnings
+
+            warnings.warn(
+                "wsis_native.so is older than wsis_native.cpp and g++ is "
+                "unavailable to rebuild it; native results may lag the "
+                "source (rebuild with: cd native && g++ -O3 -shared -fPIC "
+                "-fopenmp -std=c++17 wsis_native.cpp -o libwsis_native.so)",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     if found is None:
         if build_if_missing and build_native():
             found = _CANDIDATES[1]

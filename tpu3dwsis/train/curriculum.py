@@ -44,10 +44,20 @@ log = logging.getLogger("tpu3dwsis.train")
 
 
 # Cooperative preemption: bench.py (the driver's artifact) touches this
-# marker before waiting on the chip; a running trainer treats it exactly
-# like a passed deadline — checkpoint, then stop cleanly within one epoch
-# so the chip frees without anyone killing a mid-compile process.
+# marker every 15 s while waiting on the chip; a running trainer treats a
+# FRESH marker exactly like a passed deadline — checkpoint, then stop
+# cleanly within one epoch so the chip frees without anyone killing a
+# mid-compile process.  Staleness window: a marker older than 60 s is a
+# leftover from a dead bench (only bench deletes it) — honoring it would
+# abort every later trainer on the machine, including CPU test runs.
 RELEASE_MARKER = "/tmp/tpu_release"
+
+
+def _release_requested() -> bool:
+    try:
+        return time.time() - os.path.getmtime(RELEASE_MARKER) < 60.0
+    except OSError:
+        return False
 
 
 class DeadlineReached(Exception):
@@ -313,7 +323,7 @@ class Trainer:
             )
             past_deadline = (
                 cfg.deadline_ts is not None and time.time() > cfg.deadline_ts
-            ) or os.path.exists(RELEASE_MARKER)
+            ) or _release_requested()
             if epoch % cfg.save_freq == 0 or epoch == stage.epochs or past_deadline:
                 self.save_stage_checkpoint(stage.name, epoch)
             if past_deadline:
@@ -564,7 +574,7 @@ class Trainer:
                     self.cfg.deadline_ts is not None
                     and time.time() > self.cfg.deadline_ts
                 )
-                or os.path.exists(RELEASE_MARKER)
+                or _release_requested()
             ) and i > start_idx:
                 # stage boundary: the end-of-stage checkpoint is already on
                 # disk (epoch == stage.epochs always saves) — stop before
